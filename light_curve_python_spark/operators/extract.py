@@ -1,0 +1,271 @@
+"""Feature extraction operators — the engine's flagship.
+
+Recasts the reference's per-curve evaluators (``Feature.__call__`` /
+``Feature.many``, /root/reference/light-curve/src/features.rs:2289-2531) as
+Arrow-batched grouped pandas UDFs:
+
+- :meth:`FeatureExtractor.extract` — one feature vector per entity over its
+  whole series (the reference's ``many``: one curve in, one vector out).
+- :meth:`FeatureExtractor.extract_point_in_time` — one feature vector per
+  entity×timestamp probe, seeing ONLY observations with ``t <= ts`` (and
+  ``t > ts - horizon`` when a range horizon is given): the as-of/point-in-time
+  semantics the north rule adds on top of the reference, with zero temporal
+  leakage by construction (slices are taken with ``np.searchsorted`` on the
+  sorted time axis, never a full-table filter that could drift).
+
+All kernels for a row are evaluated in ONE pass per group — the reference's
+Extractor fusion (features/extractor.py:36-41) — because Catalyst cannot fuse
+across Python UDF boundaries (SURVEY.md §4).
+
+Skew: hot entities (observation count above ``hot_threshold``) are handled by
+salting: their probe rows are split across ``salt_partitions`` buckets and the
+observation side is replicated per bucket, so one giant entity no longer pins
+a single task.  Only the probe side is split — every probe still sees the full
+observation history, so order-sensitive kernels stay exact (SURVEY.md §7
+"hard parts" (4)).
+
+The token payload (or any probe column) is carried through untouched: feature
+columns are appended to the probe pandas frame, the Arrow round-trip of
+``array<int32>`` is lossless (asserted byte-for-byte in tests/test_extract.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.kernels import Kernel, evaluate_many, make_kernel
+from ..functions.transforms import apply_transform_column
+
+__all__ = ["FeatureExtractor"]
+
+FeatureArg = Union[str, Kernel, tuple]
+
+
+def _resolve(features: Iterable[FeatureArg]) -> List[Kernel]:
+    out = []
+    for f in features:
+        if isinstance(f, Kernel):
+            out.append(f)
+        elif isinstance(f, str):
+            out.append(make_kernel(f))
+        elif isinstance(f, tuple):
+            key, params = f
+            out.append(make_kernel(key, **params))
+        else:
+            raise TypeError(f"bad feature spec: {f!r}")
+    return out
+
+
+class FeatureExtractor:
+    """A compiled feature-extraction plan (the engine's analogue of the
+    reference's ``Extractor`` object — immutable, picklable, shipped to
+    executors inside the UDF closure)."""
+
+    def __init__(self, features: Sequence[FeatureArg],
+                 fill_value: Optional[float] = float("nan"),
+                 bands: Optional[Sequence[str]] = None,
+                 transforms: Optional[dict] = None):
+        self.kernels = _resolve(features)
+        self.fill_value = fill_value
+        self.bands = list(bands) if bands else None
+        self.transforms = dict(transforms or {})
+        if not self.kernels:
+            raise ValueError("need at least one feature")
+
+    # ---- metadata --------------------------------------------------------
+
+    @property
+    def base_names(self) -> List[str]:
+        return [n for k in self.kernels for n in k.names]
+
+    @property
+    def names(self) -> List[str]:
+        """Output column names; per-band suffix convention ``{name}_{band}``
+        matches the reference's multiband naming (SURVEY.md §1.3)."""
+        if self.bands is None:
+            return self.base_names
+        return [f"{n}_{b}" for b in self.bands for n in self.base_names]
+
+    @property
+    def needs_sigma(self) -> bool:
+        return any(k.needs_sigma for k in self.kernels)
+
+    def _feature_fields(self):
+        return [T.StructField(n, T.DoubleType(), True) for n in self.names]
+
+    # ---- kernel-side evaluation ------------------------------------------
+
+    def _eval_window(self, t, m, s) -> np.ndarray:
+        if self.bands is None:
+            return evaluate_many(self.kernels, t, m, s, self.fill_value)
+        raise AssertionError("banded path uses _eval_window_banded")
+
+    def _eval_window_banded(self, t, m, s, band_codes) -> np.ndarray:
+        outs = []
+        for bi in range(len(self.bands)):
+            mask = band_codes == bi
+            outs.append(evaluate_many(
+                self.kernels, t[mask], m[mask],
+                None if s is None else s[mask], self.fill_value))
+        return np.concatenate(outs)
+
+    def _prepare_arrays(self, pdf: pd.DataFrame, t_col, m_col, sigma_col,
+                        band_col):
+        t = pdf[t_col].to_numpy(dtype=np.float64)
+        order = np.argsort(t, kind="mergesort")  # engine sort guarantee
+        t = t[order]
+        m = pdf[m_col].to_numpy(dtype=np.float64)[order]
+        s = (pdf[sigma_col].to_numpy(dtype=np.float64)[order]
+             if sigma_col else None)
+        codes = None
+        if self.bands is not None:
+            codes = pd.Categorical(
+                pdf[band_col].to_numpy()[order],
+                categories=self.bands).codes
+        return t, m, s, codes
+
+    # ---- whole-entity extraction -----------------------------------------
+
+    def extract(self, obs: DataFrame, entity_col: str = "doc_id",
+                t_col: str = "t", m_col: str = "m",
+                sigma_col: Optional[str] = "sigma",
+                band_col: str = "band") -> DataFrame:
+        """One output row per entity over its complete series."""
+        sigma_col = sigma_col if self.needs_sigma or sigma_col else None
+        cols = [entity_col, t_col, m_col]
+        if sigma_col:
+            cols.append(sigma_col)
+        if self.bands is not None:
+            cols.append(band_col)
+        pruned = obs.select(*cols)  # explicit column pruning into the UDF
+
+        entity_field = pruned.schema[entity_col]
+        schema = T.StructType([entity_field] + self._feature_fields())
+        names = self.names
+        this = self
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            t, m, s, codes = this._prepare_arrays(
+                pdf, t_col, m_col, sigma_col, band_col)
+            vec = (this._eval_window(t, m, s) if codes is None
+                   else this._eval_window_banded(t, m, s, codes))
+            row = {entity_col: [pdf[entity_col].iloc[0]]}
+            row.update({n: [v] for n, v in zip(names, vec)})
+            return pd.DataFrame(row)
+
+        out = pruned.groupBy(entity_col).applyInPandas(fn, schema)
+        return self._apply_transforms(out)
+
+    # ---- point-in-time extraction ----------------------------------------
+
+    def extract_point_in_time(
+            self, obs: DataFrame, probes: DataFrame,
+            entity_col: str = "doc_id", t_col: str = "t", m_col: str = "m",
+            sigma_col: Optional[str] = "sigma", band_col: str = "band",
+            ts_col: str = "ts", horizon: Optional[float] = None,
+            salt_partitions: Optional[int] = None,
+            hot_threshold: Optional[int] = None) -> DataFrame:
+        """Feature vector per probe row, window = {obs : t <= ts
+        [and t > ts - horizon]}.  All probe columns pass through untouched."""
+        sigma_col = sigma_col if self.needs_sigma or sigma_col else None
+        ocols = [entity_col, t_col, m_col]
+        if sigma_col:
+            ocols.append(sigma_col)
+        if self.bands is not None:
+            ocols.append(band_col)
+        obs_p = obs.select(*ocols)
+
+        group_keys = [entity_col]
+        if salt_partitions and hot_threshold:
+            obs_p, probes, group_keys = self._salt(
+                obs_p, probes, entity_col, ts_col,
+                salt_partitions, hot_threshold)
+
+        probe_fields = [f for f in probes.schema.fields]
+        schema = T.StructType(probe_fields + self._feature_fields())
+        names = self.names
+        this = self
+
+        def fn(obs_pdf: pd.DataFrame, probes_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(probes_pdf) == 0:
+                return pd.DataFrame(columns=[f.name for f in schema.fields])
+            out = probes_pdf.reset_index(drop=True)
+            feats = np.empty((len(out), len(names)), dtype=np.float64)
+            if len(obs_pdf) == 0:
+                t = m = np.empty(0)
+                s = np.empty(0) if sigma_col else None
+                codes = (np.empty(0, dtype=np.int8)
+                         if this.bands is not None else None)
+            else:
+                t, m, s, codes = this._prepare_arrays(
+                    obs_pdf, t_col, m_col, sigma_col, band_col)
+            cutoffs = out[ts_col].to_numpy(dtype=np.float64)
+            for j, cutoff in enumerate(cutoffs):
+                hi = np.searchsorted(t, cutoff, side="right")
+                # inclusive lower bound: t >= ts - horizon, matching
+                # Window.rangeBetween(-horizon, 0)
+                lo = (np.searchsorted(t, cutoff - horizon, side="left")
+                      if horizon is not None else 0)
+                sl = slice(lo, hi)
+                sw = None if s is None else s[sl]
+                if codes is None:
+                    feats[j] = this._eval_window(t[sl], m[sl], sw)
+                else:
+                    feats[j] = this._eval_window_banded(
+                        t[sl], m[sl], sw, codes[sl])
+            for i, n in enumerate(names):
+                out[n] = feats[:, i]
+            return out
+
+        grouped = obs_p.groupby(*group_keys).cogroup(
+            probes.groupby(*group_keys))
+        out = grouped.applyInPandas(fn, schema)
+        if "_salt" in out.columns:
+            out = out.drop("_salt")
+        return self._apply_transforms(out)
+
+    # ---- skew salting ------------------------------------------------------
+
+    @staticmethod
+    def _salt(obs: DataFrame, probes: DataFrame, entity_col: str,
+              ts_col: str, k: int, hot_threshold: int):
+        """Split hot entities' probes across k buckets; replicate their
+        observations per bucket.  Cold entities keep salt=0 with no
+        replication, so total obs duplication is bounded by
+        k × (hot-entity rows)."""
+        counts = obs.groupBy(entity_col).agg(F.count("*").alias("_n_obs"))
+        hot = counts.filter(F.col("_n_obs") > hot_threshold) \
+                    .select(entity_col, F.lit(True).alias("_hot"))
+        probes = (
+            probes.join(F.broadcast(hot), entity_col, "left")
+            .withColumn(
+                "_salt",
+                F.when(F.col("_hot").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(ts_col)), F.lit(k)).cast("int")))
+            .drop("_hot"))
+        obs = (
+            obs.join(F.broadcast(hot), entity_col, "left")
+            .withColumn(
+                "_salt",
+                F.explode(F.when(F.col("_hot").isNull(),
+                                 F.array(F.lit(0)))
+                          .otherwise(F.sequence(F.lit(0), F.lit(k - 1)))))
+            .drop("_hot"))
+        return obs, probes, [entity_col, "_salt"]
+
+    # ---- transforms --------------------------------------------------------
+
+    def _apply_transforms(self, df: DataFrame) -> DataFrame:
+        for name, tname in self.transforms.items():
+            for col in df.columns:
+                if col == name or (self.bands and any(
+                        col == f"{name}_{b}" for b in self.bands)):
+                    df = df.withColumn(
+                        col, apply_transform_column(tname, F.col(col)))
+        return df

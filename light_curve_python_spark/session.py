@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's required configuration.
+
+Arrow transfer on (all kernels run as Arrow-batched pandas UDFs), AQE on with
+skew-join handling (hot-entity mitigation for the as-of merge), and sane
+shuffle-partition defaults for local testing.  On a real cluster these settings
+ride along unchanged; only master/partitions scale up.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(master: Optional[str] = None,
+              app_name: str = "light-curve-python-spark",
+              shuffle_partitions: Optional[int] = None,
+              extra_conf: Optional[dict] = None) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(master).appName(app_name)
+        # Arrow batches between JVM and Python workers — the zero-copy path
+        # that replaces the reference's PyO3 boundary (SURVEY.md §3.4)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # runtime re-planning: partition coalescing + skew-join splitting
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

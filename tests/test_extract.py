@@ -1,0 +1,175 @@
+"""End-to-end tests of the Spark extraction operators.
+
+Checks (per SURVEY.md §5 port plan):
+- Spark output per entity / per entity×timestamp is allclose to the vendored
+  formulas applied to the same numpy window (the reference's own
+  cross-implementation strategy);
+- ZERO temporal leakage: a poison row injected after each probe cutoff leaves
+  every feature vector unchanged;
+- token payload survives the whole pipeline byte-identical per row;
+- salting of hot entities changes nothing about the results.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from light_curve_python_spark.datagen import (
+    generate_observations,
+    generate_probes,
+    generate_sequences,
+)
+from light_curve_python_spark.functions.kernels import evaluate_many, make_kernel
+from light_curve_python_spark.operators.extract import FeatureExtractor
+
+RTOL = 1e-9  # same float64 math on both sides — should be near bit-equal
+
+FEATURES = ["amplitude", "mean", "beyond_n_std", "stetson_k",
+            "inter_percentile_range", "linear_fit", "linear_trend",
+            "otsu_split", "eta_e", "maximum_slope"]
+N_ENTITIES = 20
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    obs = generate_observations(spark, N_ENTITIES, seed=42,
+                                n_obs_choices=(10, 100)).cache()
+    probes = generate_probes(spark, N_ENTITIES, probes_per_entity=5,
+                             seed=42).cache()
+    obs_pd = obs.toPandas()
+    probes_pd = probes.toPandas()
+    return obs, probes, obs_pd, probes_pd
+
+
+def _numpy_window_features(kernels, obs_pd, doc_id, cutoff=None, horizon=None):
+    g = obs_pd[obs_pd.doc_id == doc_id].sort_values("t")
+    t = g.t.to_numpy(float)
+    m = g.m.to_numpy(float)
+    s = g.sigma.to_numpy(float)
+    if cutoff is not None:
+        mask = t <= cutoff
+        if horizon is not None:
+            mask &= t >= cutoff - horizon
+        t, m, s = t[mask], m[mask], s[mask]
+    return evaluate_many(kernels, t, m, s, fill_value=np.nan)
+
+
+def test_extract_whole_entity_matches_numpy(spark, data):
+    obs, _, obs_pd, _ = data
+    ex = FeatureExtractor(FEATURES)
+    got = ex.extract(obs).toPandas().set_index("doc_id").sort_index()
+    assert len(got) == N_ENTITIES
+    kernels = ex.kernels
+    for doc_id, row in got.iterrows():
+        want = _numpy_window_features(kernels, obs_pd, doc_id)
+        np.testing.assert_allclose(row[ex.names].to_numpy(float), want,
+                                   rtol=RTOL, equal_nan=True)
+
+
+def test_point_in_time_matches_numpy_and_no_leakage(spark, data):
+    obs, probes, obs_pd, probes_pd = data
+    ex = FeatureExtractor(FEATURES)
+    got = ex.extract_point_in_time(obs, probes).toPandas()
+    assert len(got) == len(probes_pd)
+
+    for _, row in got.iterrows():
+        want = _numpy_window_features(ex.kernels, obs_pd, row.doc_id,
+                                      cutoff=row.ts)
+        np.testing.assert_allclose(
+            row[ex.names].to_numpy(float), want, rtol=RTOL, equal_nan=True)
+
+    # leakage: add one poison row per entity AFTER each max cutoff; feature
+    # vectors must not move at all
+    poison = probes_pd.groupby("doc_id").ts.max().reset_index()
+    poison_rows = spark.createDataFrame(pd.DataFrame({
+        "doc_id": poison.doc_id,
+        "t": poison.ts + 1e-6,
+        "m": 1e9,
+        "sigma": 1e-9,
+        "band": "g",
+    }))
+    poisoned = obs.unionByName(poison_rows)
+    got2 = ex.extract_point_in_time(poisoned, probes).toPandas()
+    a = got.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    b = got2.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    np.testing.assert_array_equal(a[ex.names].to_numpy(),
+                                  b[ex.names].to_numpy())
+
+
+def test_token_payload_byte_identical(spark, data):
+    obs, probes, _, probes_pd = data
+    ex = FeatureExtractor(["mean", "amplitude"])
+    got = ex.extract_point_in_time(obs, probes).toPandas()
+    want = probes_pd.set_index(["doc_id", "ts"]).sort_index()
+    got = got.set_index(["doc_id", "ts"]).sort_index()
+    assert len(got) == len(want)
+    for idx in want.index:
+        wt = np.asarray(want.loc[idx, "tokens"], dtype=np.int32)
+        gt = np.asarray(got.loc[idx, "tokens"], dtype=np.int32)
+        assert wt.tobytes() == gt.tobytes()
+    assert (got["n_tok"] == want["n_tok"]).all()
+    assert (got["source"] == want["source"]).all()
+
+
+def test_range_horizon_window(spark, data):
+    obs, probes, obs_pd, _ = data
+    ex = FeatureExtractor(["mean", "observation_count"])
+    h = 100.0
+    got = ex.extract_point_in_time(obs, probes, horizon=h).toPandas()
+    for _, row in got.iterrows():
+        want = _numpy_window_features(ex.kernels, obs_pd, row.doc_id,
+                                      cutoff=row.ts, horizon=h)
+        np.testing.assert_allclose(
+            row[ex.names].to_numpy(float), want, rtol=RTOL, equal_nan=True)
+
+
+def test_salted_equals_unsalted(spark):
+    obs = generate_observations(spark, 6, seed=7, n_obs_choices=(50,),
+                                n_hot=2, hot_factor=20).cache()
+    probes = generate_probes(spark, 6, probes_per_entity=7, seed=7)
+    ex = FeatureExtractor(["mean", "amplitude", "linear_trend",
+                           "maximum_slope", "cusum"])
+    plain = ex.extract_point_in_time(obs, probes).toPandas() \
+        .sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    salted = ex.extract_point_in_time(
+        obs, probes, salt_partitions=4, hot_threshold=200).toPandas() \
+        .sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    assert list(plain.columns) == list(salted.columns)
+    np.testing.assert_array_equal(plain[ex.names].to_numpy(),
+                                  salted[ex.names].to_numpy())
+
+
+def test_multiband_extract(spark, data):
+    obs, _, obs_pd, _ = data
+    ex = FeatureExtractor(["mean", "amplitude"], bands=["g", "r"])
+    got = ex.extract(obs).toPandas().set_index("doc_id")
+    assert set(ex.names) == {"mean_g", "amplitude_g", "mean_r", "amplitude_r"}
+    for doc_id, row in got.iterrows():
+        g = obs_pd[(obs_pd.doc_id == doc_id)].sort_values("t")
+        for band in ("g", "r"):
+            mb = g[g.band == band].m.to_numpy(float)
+            assert row[f"mean_{band}"] == pytest.approx(mb.mean(), rel=RTOL)
+            assert row[f"amplitude_{band}"] == pytest.approx(
+                (mb.max() - mb.min()) / 2, rel=RTOL)
+
+
+def test_empty_window_fill_value(spark, data):
+    obs, _, _, _ = data
+    probes_early = generate_probes(spark, N_ENTITIES, probes_per_entity=2,
+                                   seed=42).withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(-5.0))
+    ex = FeatureExtractor(["mean", "amplitude"], fill_value=-1.0)
+    got = ex.extract_point_in_time(obs, probes_early).toPandas()
+    assert (got["mean"] == -1.0).all()
+    assert (got["amplitude"] == -1.0).all()
+
+
+def test_sequences_deterministic(spark):
+    a = generate_sequences(spark, 10, seed=42, partitions=2).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = generate_sequences(spark, 10, seed=42, partitions=7).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a.n_tok == b.n_tok).all()
+    for x, y in zip(a.tokens, b.tokens):
+        assert np.asarray(x, dtype=np.int32).tobytes() == \
+            np.asarray(y, dtype=np.int32).tobytes()
