@@ -1,38 +1,904 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names from SURVEY.md §2 to Spark callables;
+``oracle_sql()`` supplies the DuckDB twin for each.  Conventions shared by
+both sides so the driver's order-insensitive value-hash matches:
+
+- events are normalized to ``t`` = days since 2024-01-01 UTC (keeps every
+  feature on an O(1..100) scale so ROUND(x, 6) absorbs cross-engine float
+  noise), ``m`` = value, synthetic ``sigma`` = 0.05 + 0.1·|sin(event_id)|;
+- every float column is rounded to 6 decimals IN BOTH ENGINES;
+- integer operators (minhash/simhash/fingerprint) use explicit modular
+  arithmetic over a data-derived word dictionary (dense ranks of the sorted
+  vocabulary), so values are integer-exact across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from light_curve_python_spark.functions import sqlfeatures as SQ
+from light_curve_python_spark.operators.asof import asof_join
+from light_curve_python_spark.operators.bins import bin_series
+from light_curve_python_spark.operators.extract import FeatureExtractor
+from light_curve_python_spark.operators.sessionize import session_stats
+from light_curve_python_spark.operators.windows import (
+    backfill,
+    rolling_range_agg,
+    with_lag_lead,
+)
+
+T0 = 1704067200.0          # epoch of 2024-01-01 00:00:00 UTC
+DAY = 86400.0
+PRIME = 2147483647         # 2^31 - 1, all hash arithmetic stays in int64
+MINHASH_AB = [(1000003, 12345), (999983, 54321), (7919, 11213), (104729, 777)]
+SIMHASH_BITS = 16
+STOPWORDS = ("the", "a")
+
+EV_SQL = f"""
+SELECT event_id, user_id, event_type, props,
+       (epoch(ts) - {T0}) / {DAY} AS t,
+       value AS m,
+       0.05 + 0.1 * abs(sin(CAST(event_id AS DOUBLE))) AS sigma
+FROM events
+"""
+
+
+
+EPS_ROUND = 2.5e-9  # nudges values off exact half-microstep rounding
+                    # boundaries (the 0.01-granular source data puts means
+                    # exactly on k*1e-6 + 5e-7, where 1-ulp cross-engine noise
+                    # would flip ROUND); applied identically in the oracle SQL
+
+
+def _r(col, d: int = 6):
+    if isinstance(col, str):
+        col = F.col(f"`{col}`")
+    return F.round(col + F.lit(EPS_ROUND), d)
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", "user_id", "event_type", "props",
+        # parquet ts is TIMESTAMP_NTZ in Spark 4; session tz is UTC so the
+        # two-step cast yields the same naive epoch DuckDB's epoch() gives
+        ((F.col("ts").cast("timestamp").cast("double") - F.lit(T0))
+         / F.lit(DAY)).alias("t"),
+        F.col("value").alias("m"),
+        (F.lit(0.05) + F.lit(0.1)
+         * F.abs(F.sin(F.col("event_id").cast("double")))).alias("sigma"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _round6(df: DataFrame, exclude=()) -> DataFrame:
+    for f in df.schema.fields:
+        if f.name not in exclude and isinstance(f.dataType, T.DoubleType):
+            # backticks: some feature names contain dots (e.g. "..._0.25")
+            df = df.withColumn(f.name, _r(F.col(f"`{f.name}`"), 6))
+    return df
+
+
+# --------------------------------------------------------------------------
+# word dictionary (shared by minhash / simhash / fingerprint / jaccard)
+# --------------------------------------------------------------------------
+
+def _words(spark, sf_dir):
+    """(doc_id, w, pos) — non-empty words with 1-based raw positions."""
+    docs = _docs(spark, sf_dir)
+    return (docs
+            .select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("pos0", "w"))
+            .filter(F.col("w") != "")
+            .select("doc_id", "w", (F.col("pos0") + 1).alias("pos")))
+
+
+def _word_dict(words_df):
+    return (words_df.select("w").distinct()
+            .withColumn("wid", F.row_number().over(Window.orderBy("w"))))
+
+
+WORDS_SQL = """
+words AS (
+  SELECT doc_id, w, ord AS pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents)
+  WHERE w <> ''
+),
+word_dict AS (
+  SELECT w, row_number() OVER (ORDER BY w) AS wid
+  FROM (SELECT DISTINCT w FROM words)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        _r(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+        _r(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order")))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_feat_simple_stats(spark, sf_dir):
+    return _round6(SQ.simple_stats(_ev(spark, sf_dir), "user_id", "t", "m"))
+
+
+SQL_SIMPLE_STATS = f"""
+WITH ev AS ({EV_SQL}),
+d AS (SELECT user_id, t, m,
+        t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS dt
+      FROM ev)
+SELECT user_id,
+  CAST(count(*) AS DOUBLE) AS observation_count,
+  ROUND(max(t) - min(t), 6) AS duration,
+  ROUND((max(m) - min(m)) / 2, 6) AS amplitude,
+  ROUND(avg(m), 6) AS mean,
+  ROUND(quantile_cont(m, 0.5), 6) AS median,
+  ROUND(stddev_samp(m), 6) AS standard_deviation,
+  ROUND(stddev_samp(m) / avg(m), 6) AS mean_variance,
+  ROUND(greatest(max(m) - quantile_cont(m, 0.5),
+                 quantile_cont(m, 0.5) - min(m)), 6) AS percent_amplitude,
+  ROUND(avg(t), 6) AS time_mean,
+  ROUND(stddev_samp(t), 6) AS time_standard_deviation,
+  ROUND(max(dt), 6) AS maximum_time_interval,
+  ROUND(min(dt), 6) AS minimum_time_interval
+FROM d GROUP BY user_id
+"""
+
+
+def _hz(q: float) -> str:
+    pos = f"least(greatest({q} * n + 0.5, 1.0), CAST(n AS DOUBLE))"
+    flo = f"CAST(floor({pos}) AS BIGINT)"
+    g = f"({pos} - floor({pos}))"
+    vlo = f"max(CASE WHEN rn = {flo} THEN v END)"
+    vhi = f"coalesce(max(CASE WHEN rn = {flo} + 1 THEN v END), {vlo})"
+    return f"({vlo} * (1 - max({g})) + {vhi} * max({g}))"
+
+
+def q_feat_quantiles(spark, sf_dir):
+    return _round6(SQ.quantile_family(_ev(spark, sf_dir), "user_id", "m"))
+
+
+SQL_QUANTILES = f"""
+WITH ev AS ({EV_SQL}),
+r AS (SELECT user_id, m AS v,
+        row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM ev),
+q AS (SELECT user_id,
+        {_hz(0.05)} AS q05, {_hz(0.25)} AS q25, {_hz(0.4)} AS q40,
+        {_hz(0.6)} AS q60, {_hz(0.75)} AS q75, {_hz(0.95)} AS q95
+      FROM r GROUP BY user_id),
+med AS (SELECT user_id, quantile_cont(m, 0.5) AS med,
+               max(m) AS mx, min(m) AS mn
+        FROM ev GROUP BY user_id),
+mb AS (SELECT e.user_id,
+         CAST(count(CASE WHEN abs(med.med - e.m)
+                         < 0.1 * (med.mx - med.mn) / 2 THEN 1 END) AS DOUBLE)
+         / count(*) AS mbrp
+       FROM ev e JOIN med ON e.user_id = med.user_id
+       GROUP BY e.user_id)
+SELECT q.user_id,
+  ROUND(q75 - q25, 6) AS "inter_percentile_range_0.25",
+  ROUND((q75 - q25) / med.med, 6)
+    AS "percent_difference_magnitude_percentile_0.25",
+  ROUND((q60 - q40) / (q95 - q05), 6) AS "magnitude_percentage_ratio_0.4_0.05",
+  ROUND(mb.mbrp, 6) AS "median_buffer_range_percentage_0.1"
+FROM q JOIN med ON q.user_id = med.user_id JOIN mb ON q.user_id = mb.user_id
+"""
+
+
+def q_feat_dispersion(spark, sf_dir):
+    return _round6(SQ.dispersion_stats(_ev(spark, sf_dir), "user_id", "t", "m"))
+
+
+SQL_DISPERSION = f"""
+WITH ev AS ({EV_SQL}),
+s1 AS (SELECT user_id, t, m,
+         avg(m) OVER (PARTITION BY user_id) AS mean,
+         stddev_samp(m) OVER (PARTITION BY user_id) AS std,
+         m - lag(m) OVER (PARTITION BY user_id ORDER BY t) AS dm,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS dt
+       FROM ev),
+s2 AS (SELECT *, sum(m - mean) OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus
+       FROM s1)
+SELECT user_id,
+  ROUND(CAST(count(CASE WHEN abs(m - mean) > std THEN 1 END) AS DOUBLE)
+        / count(*), 6) AS beyond_1_std,
+  ROUND(sum(dm * dm) / ((count(*) - 1) * var_samp(m)), 6) AS eta,
+  ROUND(sum((dm / dt) * (dm / dt)) * power(max(t) - min(t), 2)
+        / (power(count(*) - 1, 3) * var_samp(m)), 6) AS eta_e,
+  ROUND(max(abs(dm / dt)), 6) AS maximum_slope,
+  ROUND((max(cus) - min(cus)) / (count(*) * stddev_samp(m)), 6) AS cusum,
+  ROUND(sum(dm * dm) / sum((m - mean) * (m - mean)), 6)
+    AS lafler_kinman_string_length
+FROM s2 GROUP BY user_id
+"""
+
+
+def q_feat_weighted(spark, sf_dir):
+    return _round6(SQ.weighted_stats(_ev(spark, sf_dir), "user_id",
+                                     "m", "sigma"))
+
+
+SQL_WEIGHTED = f"""
+WITH ev AS ({EV_SQL}),
+g AS (SELECT user_id,
+        sum(m * power(sigma, -2)) / sum(power(sigma, -2)) AS wmean,
+        quantile_cont(m, 0.5) AS med
+      FROM ev GROUP BY user_id)
+SELECT e.user_id,
+  ROUND(max(g.wmean), 6) AS weighted_mean,
+  ROUND(sum(power((e.m - g.wmean) / e.sigma, 2)) / (count(*) - 1), 6)
+    AS reduced_chi2,
+  ROUND(sum(abs((e.m - g.wmean) / e.sigma))
+        / sqrt(count(*) * sum(power((e.m - g.wmean) / e.sigma, 2))), 6)
+    AS stetson_k,
+  ROUND((var_samp(e.m) - avg(power(e.sigma, 2))) / power(avg(e.m), 2), 6)
+    AS excess_variance,
+  ROUND(sum(abs(e.m - g.med) / e.sigma) / (count(*) - 1), 6) AS roms
+FROM ev e JOIN g ON e.user_id = g.user_id
+GROUP BY e.user_id
+"""
+
+
+def q_feat_skew_kurtosis(spark, sf_dir):
+    return _round6(SQ.skew_kurtosis(_ev(spark, sf_dir), "user_id", "m"))
+
+
+SQL_SKEW_KURTOSIS = f"""
+WITH ev AS ({EV_SQL}),
+s AS (SELECT user_id, m,
+        avg(m) OVER (PARTITION BY user_id) AS mean,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM ev)
+SELECT user_id,
+  ROUND((sum(power(m - mean, 3)) / max(n))
+        / power(sum(power(m - mean, 2)) / max(n), 1.5)
+        * sqrt(CAST(max(n) AS DOUBLE) * (max(n) - 1)) / (max(n) - 2), 6)
+    AS skew,
+  ROUND(max(n) * (max(n) + 1) * sum(power(m - mean, 4))
+        / ((max(n) - 1.0) * (max(n) - 2) * (max(n) - 3)
+           * power(sum(power(m - mean, 2)) / (max(n) - 1), 2))
+        - 3.0 * power(max(n) - 1.0, 2) / ((max(n) - 2) * (max(n) - 3)), 6)
+    AS kurtosis
+FROM s GROUP BY user_id
+"""
+
+
+def q_feat_linear_fit(spark, sf_dir):
+    return _round6(SQ.linear_fit_sql(_ev(spark, sf_dir), "user_id",
+                                     "t", "m", "sigma"))
+
+
+SQL_LINEAR_FIT = f"""
+WITH ev AS ({EV_SQL}),
+s AS (SELECT user_id,
+        count(*) AS n,
+        sum(power(sigma, -2)) AS S,
+        sum(power(sigma, -2) * t) AS St,
+        sum(power(sigma, -2) * m) AS Sm,
+        sum(power(sigma, -2) * t * t) AS Stt,
+        sum(power(sigma, -2) * t * m) AS Stm,
+        sum(power(sigma, -2) * m * m) AS Smm
+      FROM ev GROUP BY user_id)
+SELECT user_id,
+  ROUND((S * Stm - St * Sm) / (S * Stt - St * St), 6) AS linear_fit_slope,
+  ROUND(sqrt(1.0 / ((Stt / S - power(St / S, 2)) * S)), 6)
+    AS linear_fit_slope_sigma,
+  ROUND((Smm - ((Sm - (S * Stm - St * Sm) / (S * Stt - St * St) * St) / S) * Sm
+         - (S * Stm - St * Sm) / (S * Stt - St * St) * Stm) / (n - 2), 6)
+    AS linear_fit_reduced_chi2
+FROM s
+"""
+
+
+def q_feat_linear_trend(spark, sf_dir):
+    return _round6(SQ.linear_trend_sql(_ev(spark, sf_dir), "user_id",
+                                       "t", "m"))
+
+
+SQL_LINEAR_TREND = f"""
+WITH ev AS ({EV_SQL}),
+s AS (SELECT user_id, t, m,
+        avg(t) OVER (PARTITION BY user_id) AS tbar,
+        avg(m) OVER (PARTITION BY user_id) AS mbar
+      FROM ev),
+g AS (SELECT user_id,
+        count(*) AS n,
+        sum((t - tbar) * (t - tbar)) AS sxx,
+        sum((t - tbar) * (m - mbar)) AS sxy,
+        sum((m - mbar) * (m - mbar)) AS syy
+      FROM s GROUP BY user_id)
+SELECT user_id,
+  ROUND(sxy / sxx, 6) AS linear_trend_slope,
+  ROUND(sqrt(((syy - sxy / sxx * sxy) / (n - 2)) / sxx), 6)
+    AS linear_trend_slope_sigma,
+  ROUND(sqrt((syy - sxy / sxx * sxy) / (n - 2)), 6) AS linear_trend_noise
+FROM g
+"""
+
+
+def q_feat_otsu(spark, sf_dir):
+    return _round6(SQ.otsu_split_sql(_ev(spark, sf_dir), "user_id", "m"))
+
+
+SQL_OTSU = f"""
+WITH ev AS ({EV_SQL}),
+r AS (SELECT user_id, m AS v,
+        row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n,
+        sum(m) OVER (PARTITION BY user_id ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(m * m) OVER (PARTITION BY user_id ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumsq,
+        sum(m) OVER (PARTITION BY user_id) AS tot,
+        sum(m * m) OVER (PARTITION BY user_id) AS totsq
+      FROM ev),
+sc AS (SELECT user_id, rn, n,
+         (rn / CAST(n AS DOUBLE)) * (1 - rn / CAST(n AS DOUBLE))
+           * power((tot - cum) / (n - rn) - cum / rn, 2) AS icv,
+         (tot - cum) / (n - rn) - cum / rn AS mean_diff,
+         CASE WHEN rn = 1 THEN 0.0
+              ELSE sqrt((cumsq - cum * cum / rn) / (rn - 1)) END AS std_lower,
+         CASE WHEN rn = n - 1 THEN 0.0
+              ELSE sqrt(((totsq - cumsq) - power(tot - cum, 2) / (n - rn))
+                        / (n - rn - 1)) END AS std_upper,
+         rn / CAST(n AS DOUBLE) AS ratio
+       FROM r WHERE rn < n),
+pick AS (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY icv DESC, rn ASC) AS pk FROM sc)
+SELECT user_id,
+  ROUND(mean_diff, 6) AS otsu_mean_diff,
+  ROUND(std_lower, 6) AS otsu_std_lower,
+  ROUND(std_upper, 6) AS otsu_std_upper,
+  ROUND(ratio, 6) AS otsu_lower_to_all_ratio
+FROM pick WHERE pk = 1
+"""
+
+
+S2N = 400.0
+
+
+def q_feat_detection_counts(spark, sf_dir):
+    return _round6(SQ.detection_counts_sql(
+        _ev(spark, sf_dir), "user_id", "t", "m", "sigma", S2N))
+
+
+SQL_DETECTION = f"""
+WITH ev AS ({EV_SQL}),
+f AS (SELECT user_id,
+        min(CASE WHEN m > {S2N} * sigma THEN t END) AS fd,
+        count(CASE WHEN m > {S2N} * sigma THEN 1 END) AS nd,
+        count(*) AS n
+      FROM ev GROUP BY user_id)
+SELECT e.user_id,
+  CAST(count(CASE WHEN e.t < f.fd THEN 1 END) AS DOUBLE)
+    AS flux_n_non_detections_before_fd
+FROM ev e JOIN f ON e.user_id = f.user_id
+WHERE f.fd IS NOT NULL AND f.nd < f.n
+GROUP BY e.user_id
+"""
+
+
+PIT_FEATURES = ["observation_count", "mean", "amplitude",
+                "standard_deviation", "linear_trend"]
+
+
+def q_pit_features_kernel(spark, sf_dir):
+    """FLAGSHIP: point-in-time kernel extraction — probes are each user's
+    purchase events (4th event onward), windows are all history t <= ts,
+    props carried through as the payload."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    probes = (ranked.filter((F.col("event_type") == "purchase")
+                            & (F.col("rn") >= 4))
+              .select("user_id", F.col("t").alias("pts"), "props"))
+    ex = FeatureExtractor(PIT_FEATURES)
+    out = ex.extract_point_in_time(
+        ev.select("user_id", "t", "m", "sigma"), probes,
+        entity_col="user_id", t_col="t", m_col="m", sigma_col="sigma",
+        ts_col="pts")
+    return _round6(out)
+
+
+SQL_PIT_FEATURES = f"""
+WITH ev AS ({EV_SQL}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+           FROM ev),
+p AS (SELECT user_id, t AS pts, props FROM ranked
+      WHERE event_type = 'purchase' AND rn >= 4),
+j AS (SELECT p.user_id, p.pts, p.props, e.t, e.m
+      FROM p JOIN ev e ON e.user_id = p.user_id AND e.t <= p.pts),
+st AS (SELECT user_id, pts, avg(t) AS tbar, avg(m) AS mbar
+       FROM j GROUP BY user_id, pts)
+SELECT j.user_id, ROUND(j.pts, 6) AS pts, j.props,
+  CAST(count(*) AS DOUBLE) AS observation_count,
+  ROUND(avg(j.m), 6) AS mean,
+  ROUND((max(j.m) - min(j.m)) / 2, 6) AS amplitude,
+  ROUND(stddev_samp(j.m), 6) AS standard_deviation,
+  ROUND(sum((j.t - st.tbar) * (j.m - st.mbar))
+        / sum(power(j.t - st.tbar, 2)), 6) AS linear_trend_slope,
+  ROUND(sqrt(((sum(power(j.m - st.mbar, 2))
+               - power(sum((j.t - st.tbar) * (j.m - st.mbar)), 2)
+                 / sum(power(j.t - st.tbar, 2))) / (count(*) - 2))
+             / sum(power(j.t - st.tbar, 2))), 6) AS linear_trend_slope_sigma,
+  ROUND(sqrt((sum(power(j.m - st.mbar, 2))
+              - power(sum((j.t - st.tbar) * (j.m - st.mbar)), 2)
+                / sum(power(j.t - st.tbar, 2))) / (count(*) - 2)), 6)
+    AS linear_trend_noise
+FROM j JOIN st ON j.user_id = st.user_id AND j.pts = st.pts
+GROUP BY j.user_id, j.pts, j.props
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    probes = (ev.filter(F.col("event_type") == "purchase")
+              .select("user_id", F.col("event_id").alias("probe_event_id"),
+                      F.col("t").alias("pts")))
+    obs = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "t", F.col("m").alias("click_value"))
+    out = asof_join(probes, obs, on="user_id", left_ts="pts", right_ts="t",
+                    value_cols=["click_value"])
+    return out.select(
+        "user_id", "probe_event_id", _r("pts", 6).alias("pts"),
+        _r("click_value_asof", 6).alias("click_value_asof"),
+        _r("t_asof", 6).alias("t_asof"))
+
+
+SQL_ASOF = f"""
+WITH ev AS ({EV_SQL})
+SELECT p.user_id, p.event_id AS probe_event_id, ROUND(p.t, 6) AS pts,
+       ROUND(o.m, 6) AS click_value_asof, ROUND(o.t, 6) AS t_asof
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') o
+  ON p.user_id = o.user_id AND o.t <= p.t
+"""
+
+
+def q_lag_lead(spark, sf_dir):
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "t", "m")
+    out = with_lag_lead(ev, "user_id", "t", ["m"], offsets=(1,))
+    return out.select("event_id", _r("m_lag_1", 6).alias("m_lag_1"),
+                      _r("m_lead_1", 6).alias("m_lead_1"))
+
+
+SQL_LAG_LEAD = f"""
+WITH ev AS ({EV_SQL})
+SELECT event_id,
+  ROUND(lag(m, 1) OVER (PARTITION BY user_id ORDER BY t), 6) AS m_lag_1,
+  ROUND(lead(m, 1) OVER (PARTITION BY user_id ORDER BY t), 6) AS m_lead_1
+FROM ev
+"""
+
+
+def q_backfill(spark, sf_dir):
+    ev = _ev(spark, sf_dir).withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("m")))
+    out = backfill(ev, "user_id", "t", ["purchase_value"], "ffill")
+    return out.select("event_id", _r("purchase_value", 6)
+                      .alias("last_purchase_value"))
+
+
+SQL_BACKFILL = f"""
+WITH ev AS ({EV_SQL})
+SELECT event_id,
+  ROUND(last_value(CASE WHEN event_type = 'purchase' THEN m END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+    AS last_purchase_value
+FROM ev
+"""
+
+
+H_1H = 1.0 / 24.0
+
+
+def q_rolling_1h(spark, sf_dir):
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "t", "m")
+    out = rolling_range_agg(ev, "user_id", "t",
+                            {"cnt_1h": "count(*)", "sum_1h": "sum(m)"},
+                            window_range=(-H_1H, 0))
+    return out.select("event_id", "cnt_1h",
+                      _r("sum_1h", 6).alias("sum_1h"))
+
+
+SQL_ROLLING_1H = f"""
+WITH ev AS ({EV_SQL})
+SELECT event_id,
+  count(*) OVER (PARTITION BY user_id ORDER BY t
+    RANGE BETWEEN {H_1H!r} PRECEDING AND CURRENT ROW) AS cnt_1h,
+  ROUND(sum(m) OVER (PARTITION BY user_id ORDER BY t
+    RANGE BETWEEN {H_1H!r} PRECEDING AND CURRENT ROW), 6) AS sum_1h
+FROM ev
+"""
+
+
+GAP_30M = 1.0 / 48.0
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _ev(spark, sf_dir).select("user_id", "t", "m")
+    out = session_stats(ev, "user_id", "t", GAP_30M, value_col="m")
+    return out.select(
+        "user_id", "session_seq",
+        _r("session_start", 6).alias("session_start"),
+        _r("session_end", 6).alias("session_end"),
+        "n_events", _r("value_sum", 6).alias("value_sum"))
+
+
+SQL_SESSIONIZE = f"""
+WITH ev AS ({EV_SQL}),
+f AS (SELECT user_id, t, m,
+        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                  > {GAP_30M!r}
+             THEN 1 ELSE 0 END AS nf
+      FROM ev),
+s AS (SELECT user_id, t, m,
+        sum(nf) OVER (PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM f)
+SELECT user_id, session_seq,
+  ROUND(min(t), 6) AS session_start,
+  ROUND(max(t), 6) AS session_end,
+  count(*) AS n_events,
+  ROUND(sum(m), 6) AS value_sum
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_bins_1day(spark, sf_dir):
+    ev = _ev(spark, sf_dir).select("user_id", "t", "m", "sigma")
+    out = bin_series(ev, entity_col="user_id", window=1.0, offset=0.0)
+    return out.select("user_id", _r("t", 6).alias("t"),
+                      _r("m", 6).alias("m"),
+                      _r("sigma", 6).alias("sigma"))
+
+
+SQL_BINS = f"""
+WITH ev AS ({EV_SQL})
+SELECT user_id,
+  ROUND(0.0 + 1.0 * (floor((t - 0.0) / 1.0) + 0.5), 6) AS t,
+  ROUND(sum(m * power(sigma, -2)) / sum(power(sigma, -2)), 6) AS m,
+  ROUND(sqrt(count(*) / sum(power(sigma, -2))), 6) AS sigma
+FROM ev GROUP BY user_id, floor((t - 0.0) / 1.0)
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (docs.withColumn("text_md5", F.md5("text"))
+            .withColumn("dup_count",
+                        F.count("*").over(Window.partitionBy("text_md5")))
+            .select("doc_id", "text_md5", "dup_count"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, md5(text) AS text_md5,
+       count(*) OVER (PARTITION BY md5(text)) AS dup_count
+FROM documents
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    words = _words(spark, sf_dir).select("doc_id", "w").distinct()
+    wd = _word_dict(words)
+    j = words.join(F.broadcast(wd), "w")
+    aggs = [F.min((F.lit(a) * F.col("wid") + F.lit(b)) % F.lit(PRIME))
+            .alias(f"mh{i}") for i, (a, b) in enumerate(MINHASH_AB)]
+    return j.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH = f"""
+WITH {WORDS_SQL},
+dw AS (SELECT DISTINCT doc_id, w FROM words)
+SELECT dw.doc_id,
+  {", ".join(f"min((CAST({a} AS BIGINT) * wid + {b}) % {PRIME}) AS mh{i}"
+             for i, (a, b) in enumerate(MINHASH_AB))}
+FROM dw JOIN word_dict USING (w)
+GROUP BY dw.doc_id
+"""
+
+
+def q_simhash16(spark, sf_dir):
+    words = _words(spark, sf_dir).select("doc_id", "w").distinct()
+    wd = _word_dict(words)
+    j = words.join(F.broadcast(wd), "w")
+    bit_sum = None
+    for k in range(SIMHASH_BITS):
+        a, b = 31 * (k + 1) + 7, 17 * (k + 1) + 3
+        vote = F.sum(F.when(
+            ((F.lit(a) * F.col("wid") + F.lit(b)) % F.lit(PRIME)) % 2 == 1,
+            F.lit(1)).otherwise(F.lit(-1)))
+        bit = F.when(vote > 0, F.lit(2 ** k)).otherwise(F.lit(0))
+        bit_sum = bit if bit_sum is None else bit_sum + bit
+    return j.groupBy("doc_id").agg(bit_sum.cast("long").alias("simhash"))
+
+
+def _simhash_sql_bits():
+    terms = []
+    for k in range(SIMHASH_BITS):
+        a, b = 31 * (k + 1) + 7, 17 * (k + 1) + 3
+        vote = (f"sum(CASE WHEN (CAST({a} AS BIGINT) * wid + {b})"
+                f" % {PRIME} % 2 = 1 THEN 1 ELSE -1 END)")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2 ** k} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SQL_SIMHASH = f"""
+WITH {WORDS_SQL},
+dw AS (SELECT DISTINCT doc_id, w FROM words)
+SELECT dw.doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash
+FROM dw JOIN word_dict USING (w)
+GROUP BY dw.doc_id
+"""
+
+
+SHINGLE_K = 3
+
+
+def q_nearest_neighbor_jaccard(spark, sf_dir):
+    """Per-doc nearest near-duplicate by 3-gram shingle Jaccard, candidates
+    generated by an inverted shingle index (pairs must share >= 1 shingle —
+    a guaranteed superset of pairs with jaccard > 0)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("ws"))
+    n = F.size("ws") - (SHINGLE_K - 1)
+    shingles = (toks.filter(n >= 1)
+                .select("doc_id", F.explode(F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("ws"), i + 1, SHINGLE_K))))
+                    .alias("sh"))
+                .distinct())
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (shingles.alias("a")
+             .join(shingles.alias("b"), "sh")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    scored = (pairs
+              .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_sh", "na"), "doc_a")
+              .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("n_sh", "nb"), "doc_b")
+              .withColumn("jaccard", F.col("inter")
+                          / (F.col("na") + F.col("nb") - F.col("inter"))))
+    both = scored.select("doc_a", "doc_b", "jaccard").unionByName(
+        scored.select(F.col("doc_b").alias("doc_a"),
+                      F.col("doc_a").alias("doc_b"), "jaccard"))
+    pick = Window.partitionBy("doc_a").orderBy(F.col("jaccard").desc(),
+                                               F.col("doc_b").asc())
+    return (both.withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") == 1)
+            .select(F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("nearest_doc_id"),
+                    _r("jaccard", 6).alias("jaccard")))
+
+
+SQL_NN_JACCARD = f"""
+WITH {WORDS_SQL},
+sh AS (SELECT DISTINCT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w AS sh
+       FROM words a
+       JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+scored AS (SELECT p.doc_a, p.doc_b,
+             CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)
+               AS jaccard
+           FROM pairs p
+           JOIN sizes sa ON p.doc_a = sa.doc_id
+           JOIN sizes sb ON p.doc_b = sb.doc_id),
+sym AS (SELECT doc_a, doc_b, jaccard FROM scored
+        UNION ALL
+        SELECT doc_b AS doc_a, doc_a AS doc_b, jaccard FROM scored),
+pick AS (SELECT *, row_number() OVER (PARTITION BY doc_a
+            ORDER BY jaccard DESC, doc_b ASC) AS rk FROM sym)
+SELECT doc_a AS doc_id, doc_b AS nearest_doc_id, ROUND(jaccard, 6) AS jaccard
+FROM pick WHERE rk = 1
+"""
+
+NOTE_SHINGLE = """NB: the words CTE's 'pos' counts raw split positions
+(including empties) in both engines, so consecutive-position shingles match
+the Spark filtered-array shingles only because the corpus has single spaces
+between words; documented invariant."""
+
+
+N_PROBES_ANN = 10
+TOPK_ANN = 3
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    probes = (emb.filter(F.col("vec_id") < N_PROBES_ANN)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("e").alias("pe")))
+    dot = F.aggregate(F.zip_with("e", "pe", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    pairs = (emb.crossJoin(F.broadcast(probes))
+             .filter(F.col("vec_id") != F.col("probe_id"))
+             .withColumn("cosine", dot / (norm(F.col("e"))
+                                          * norm(F.col("pe")))))
+    pick = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),
+                                                  F.col("vec_id").asc())
+    return (pairs.withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") <= TOPK_ANN)
+            .select("probe_id", "rk", F.col("vec_id").alias("neighbor_id"),
+                    _r("cosine", 6).alias("cosine")))
+
+
+SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT vec_id AS probe_id, e AS pe FROM e
+      WHERE vec_id < {N_PROBES_ANN}),
+pairs AS (SELECT p.probe_id, e.vec_id,
+            list_dot_product(e.e, p.pe)
+              / (sqrt(list_dot_product(e.e, e.e))
+                 * sqrt(list_dot_product(p.pe, p.pe))) AS cosine
+          FROM e, p WHERE e.vec_id <> p.probe_id),
+pick AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, vec_id ASC) AS rk FROM pairs)
+SELECT probe_id, rk, vec_id AS neighbor_id, ROUND(cosine, 6) AS cosine
+FROM pick WHERE rk <= {TOPK_ANN}
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    words = _words(spark, sf_dir)
+    wd = _word_dict(words.select("doc_id", "w").distinct())
+    j = words.join(F.broadcast(wd), "w")
+    return (j.groupBy("doc_id")
+            .agg((F.sum(F.col("wid") * F.col("pos")) % F.lit(PRIME))
+                 .cast("long").alias("fingerprint")))
+
+
+SQL_FINGERPRINT = f"""
+WITH {WORDS_SQL}
+SELECT doc_id,
+  CAST(sum(CAST(wid AS BIGINT) * pos) % {PRIME} AS BIGINT) AS fingerprint
+FROM words JOIN word_dict USING (w)
+GROUP BY doc_id
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    words = _words(spark, sf_dir)
+    stop = F.col("w").isin(*STOPWORDS)
+    return (words.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct_words"),
+        _r(F.avg(F.length("w")), 6).alias("avg_word_len"),
+        _r(F.count(F.when(stop, 1)) / F.count("*"), 6)
+        .alias("stopword_ratio"),
+        _r(F.countDistinct("w") / F.count("*"), 6)
+        .alias("type_token_ratio")))
+
+
+SQL_TEXT_QUALITY = f"""
+WITH {WORDS_SQL}
+SELECT doc_id,
+  count(*) AS n_words,
+  count(DISTINCT w) AS n_distinct_words,
+  ROUND(avg(length(w)), 6) AS avg_word_len,
+  ROUND(CAST(count(CASE WHEN w IN {STOPWORDS!r} THEN 1 END) AS DOUBLE)
+        / count(*), 6) AS stopword_ratio,
+  ROUND(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6)
+    AS type_token_ratio
+FROM words GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time kernel feature extraction at sf0.001."""
+    return q_pit_features_kernel(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": q_tpch_q1,
+        "feat_simple_stats": q_feat_simple_stats,
+        "feat_quantiles_hazen": q_feat_quantiles,
+        "feat_dispersion": q_feat_dispersion,
+        "feat_weighted": q_feat_weighted,
+        "feat_skew_kurtosis": q_feat_skew_kurtosis,
+        "feat_linear_fit": q_feat_linear_fit,
+        "feat_linear_trend": q_feat_linear_trend,
+        "feat_otsu_split": q_feat_otsu,
+        "feat_detection_counts": q_feat_detection_counts,
+        "pit_features_kernel": q_pit_features_kernel,
+        "asof_join": q_asof_join,
+        "lag_lead": q_lag_lead,
+        "backfill_ffill": q_backfill,
+        "rolling_range_1h": q_rolling_1h,
+        "sessionize_30m": q_sessionize,
+        "bins_1day": q_bins_1day,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash16": q_simhash16,
+        "nearest_neighbor_jaccard": q_nearest_neighbor_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_quality": q_text_quality,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls = {
+        "tpch_q1": SQL_TPCH_Q1,
+        "feat_simple_stats": SQL_SIMPLE_STATS,
+        "feat_quantiles_hazen": SQL_QUANTILES,
+        "feat_dispersion": SQL_DISPERSION,
+        "feat_weighted": SQL_WEIGHTED,
+        "feat_skew_kurtosis": SQL_SKEW_KURTOSIS,
+        "feat_linear_fit": SQL_LINEAR_FIT,
+        "feat_linear_trend": SQL_LINEAR_TREND,
+        "feat_otsu_split": SQL_OTSU,
+        "feat_detection_counts": SQL_DETECTION,
+        "pit_features_kernel": SQL_PIT_FEATURES,
+        "asof_join": SQL_ASOF,
+        "lag_lead": SQL_LAG_LEAD,
+        "backfill_ffill": SQL_BACKFILL,
+        "rolling_range_1h": SQL_ROLLING_1H,
+        "sessionize_30m": SQL_SESSIONIZE,
+        "bins_1day": SQL_BINS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_signatures": SQL_MINHASH,
+        "simhash16": SQL_SIMHASH,
+        "nearest_neighbor_jaccard": SQL_NN_JACCARD,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "text_quality": SQL_TEXT_QUALITY,
+    }
+    # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)
+    return {k: v.replace("ROUND(", f"ROUND({EPS_ROUND} + ")
+            for k, v in sqls.items()}

@@ -1,0 +1,96 @@
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB over the same parquet tables,
+compare row count, column set, and values (order-insensitive).
+
+Uses sf0.001 for speed; the driver runs the same comparison at sf0.01.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            continue
+        df[c] = pd.to_numeric(df[c], errors="ignore")
+    return df.sort_values(list(df.columns), na_position="first") \
+        .reset_index(drop=True)
+
+
+def _compare(name, spark_pdf, duck_pdf):
+    assert len(spark_pdf) == len(duck_pdf), \
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), \
+        f"{name}: columns {sorted(spark_pdf.columns)} " \
+        f"vs {sorted(duck_pdf.columns)}"
+    a = _normalize(spark_pdf)
+    b = _normalize(duck_pdf)
+    exact_mismatch = 0
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(np.asarray(av).dtype, np.floating) or \
+                np.issubdtype(np.asarray(bv).dtype, np.floating):
+            av = np.asarray(av, dtype=np.float64)
+            bv = np.asarray(bv, dtype=np.float64)
+            both_nan = np.isnan(av) & np.isnan(bv)
+            close = np.isclose(av, bv, rtol=0, atol=5e-7, equal_nan=True)
+            assert close.all(), (
+                f"{name}.{c}: {np.count_nonzero(~close)} mismatches, e.g. "
+                f"{av[~close][:3]} vs {bv[~close][:3]}")
+            exact = (av == bv) | both_nan
+            exact_mismatch += int(np.count_nonzero(~exact))
+        else:
+            assert (pd.Series(av).fillna("§") ==
+                    pd.Series(bv).fillna("§")).all(), f"{name}.{c}: mismatch"
+    return exact_mismatch
+
+
+QUERIES = sorted(E.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_vs_oracle(spark, sf_dir, name):
+    q = E.queries()[name]
+    spark_pdf = q(spark, sf_dir).toPandas()
+    sql = E.oracle_sql().get(name)
+    if sql is None:
+        assert len(spark_pdf) >= 0  # rows-only check
+        return
+    con = _duck(sf_dir)
+    duck_pdf = con.execute(sql).fetchdf()
+    con.close()
+    exact_mismatch = _compare(name, spark_pdf, duck_pdf)
+    # the driver hashes values: we need bit-equality after rounding, not just
+    # closeness — surface drift as a hard failure so it gets fixed here
+    assert exact_mismatch == 0, \
+        f"{name}: {exact_mismatch} values differ in last-ulp after rounding"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert len(df.columns) >= 3
+
+
+def test_oracle_keys_subset():
+    assert set(E.oracle_sql()) <= set(E.queries())
