@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], prints ONE JSON line:
+  {"metric": "bench_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...extras}
+
+Extras: "feature_vectors_per_sec" (flagship PIT throughput) and "scaling"
+(the north rule's N->4N evidence: the identical PIT job at local[8] and
+local[32] on the same deterministic synthetic input, efficiency =
+(rps_32/rps_8)/4).
+
+Synthetic observations/probes (the tokenized-sequence schema) are generated
+deterministically per sf into .bench_cache/ — no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+FULL_BATTERY = [
+    "amplitude", "mean", "median", "standard_deviation", "mean_variance",
+    "median_absolute_deviation", "weighted_mean", "kurtosis", "skew",
+    "percent_amplitude", "observation_count", "duration", "time_mean",
+    "time_standard_deviation", "maximum_time_interval",
+    "minimum_time_interval", "inter_percentile_range",
+    "percent_difference_magnitude_percentile", "magnitude_percentage_ratio",
+    "median_buffer_range_percentage", "beyond_n_std", "stetson_k",
+    "excess_variance", "reduced_chi2", "roms", "cusum", "eta", "eta_e",
+    "maximum_slope", "anderson_darling_normal",
+    "lafler_kinman_string_length", "linear_fit", "linear_trend", "otsu_split",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.0
+
+
+SF = _sf_from_dir(SF_DIR)
+N_ENTITIES = max(200, int(20000 * SF))
+PROBES_PER_ENTITY = 48  # sized so kernel compute dominates fixed overhead
+
+
+def _force(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _ensure_synth(spark):
+    """Deterministic synthetic observations/probes for this sf (cached)."""
+    from light_curve_python_spark.datagen import (
+        generate_observations,
+        generate_probes,
+    )
+    obs_path = f"{CACHE}/sf{SF}/observations.parquet"
+    probes_path = f"{CACHE}/sf{SF}/probes.parquet"
+    if not os.path.exists(obs_path):
+        generate_observations(
+            spark, N_ENTITIES, seed=42, n_obs_choices=(100, 1000),
+            n_hot=max(2, N_ENTITIES // 500), hot_factor=20,
+        ).write.mode("overwrite").parquet(obs_path)
+    if not os.path.exists(probes_path):
+        generate_probes(spark, N_ENTITIES, PROBES_PER_ENTITY, seed=42) \
+            .write.mode("overwrite").parquet(probes_path)
+    return obs_path, probes_path
+
+
+def _pit_flagship(spark, obs_path, probes_path):
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    obs = spark.read.parquet(obs_path)
+    probes = spark.read.parquet(probes_path)
+    ex = FeatureExtractor(FULL_BATTERY)
+    return ex.extract_point_in_time(
+        obs, probes, salt_partitions=8, hot_threshold=5000)
+
+
+def _headline_queries(spark, obs_path, probes_path):
+    import __spark_entry__ as E
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+
+    def pit_full(s):
+        return _pit_flagship(s, obs_path, probes_path)
+
+    def periodogram_short_curves(s):
+        # periodogram cost is O(n_obs^2 / resolution); bench the dense-grid
+        # path on the short-curve population (long curves use fast=FFT in a
+        # later round, mirroring the reference's fast=True)
+        from pyspark.sql import functions as FF
+        obs = s.read.parquet(obs_path).filter("doc_id < 'doc00001000'")
+        counts = obs.groupBy("doc_id").count().filter("count <= 128")
+        obs = obs.join(FF.broadcast(counts.select("doc_id")), "doc_id")
+        ex = FeatureExtractor([("periodogram", {"peaks": 1})])
+        return ex.extract(obs)
+
+    return {
+        "pit_extract_full_battery": pit_full,
+        "periodogram_short_curves": periodogram_short_curves,
+        "sql_feat_dispersion": lambda s: E.q_feat_dispersion(s, SF_DIR),
+        "sql_feat_quantiles": lambda s: E.q_feat_quantiles(s, SF_DIR),
+        "asof_join_events": lambda s: E.q_asof_join(s, SF_DIR),
+        "sessionize_events": lambda s: E.q_sessionize(s, SF_DIR),
+        "rolling_range_events": lambda s: E.q_rolling_1h(s, SF_DIR),
+        "minhash_documents": lambda s: E.q_minhash_signatures(s, SF_DIR),
+        "nn_jaccard_documents":
+            lambda s: E.q_nearest_neighbor_jaccard(s, SF_DIR),
+        "cosine_topk_embeddings": lambda s: E.q_cosine_topk(s, SF_DIR),
+    }
+
+
+def _session(cores: int):
+    from light_curve_python_spark.session import get_spark
+    return get_spark(master=f"local[{cores}]", shuffle_partitions=max(cores, 8),
+                     app_name=f"lcps-bench-{cores}")
+
+
+def _warmup(spark, obs_path, probes_path):
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    obs = spark.read.parquet(obs_path)
+    probes = spark.read.parquet(probes_path).sample(0.05, seed=1)
+    ex = FeatureExtractor(["mean", "amplitude"])
+    _force(ex.extract_point_in_time(obs, probes))
+
+
+def _time_one(spark, fn) -> float:
+    t0 = time.perf_counter()
+    _force(fn(spark))
+    return time.perf_counter() - t0
+
+
+def main():
+    results, extras = {}, {}
+
+    spark = _session(CPUS)
+    obs_path, probes_path = _ensure_synth(spark)
+    n_probe_rows = spark.read.parquet(probes_path).count()
+
+    # warm up Python workers + codegen with the actual UDF job on a probe
+    # sample, so timed numbers measure throughput, not process spawn
+    _warmup(spark, obs_path, probes_path)
+
+    for name, fn in _headline_queries(spark, obs_path, probes_path).items():
+        results[name] = round(_time_one(spark, fn), 3)
+    spark.stop()
+
+    extras["feature_vectors_per_sec"] = round(
+        n_probe_rows / results["pit_extract_full_battery"], 1)
+
+    # scaling evidence: identical flagship PIT job at local[8] vs local[32]
+    scaling = {}
+    for cores in (8, 32):
+        s = _session(cores)
+        _warmup(s, obs_path, probes_path)
+        dt = _time_one(s, lambda sp: _pit_flagship(sp, obs_path, probes_path))
+        scaling[f"local{cores}"] = {
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_probe_rows / dt, 1)}
+        s.stop()
+    scaling["efficiency_8_to_32"] = round(
+        (scaling["local32"]["rows_per_sec"]
+         / scaling["local8"]["rows_per_sec"]) / 4.0, 3)
+    extras["scaling"] = scaling
+    extras["n_probe_rows"] = n_probe_rows
+    extras["n_entities"] = N_ENTITIES
+
+    out = {
+        "metric": "bench_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

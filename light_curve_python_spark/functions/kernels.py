@@ -552,20 +552,27 @@ def lomb_scargle_power(t: np.ndarray, y: np.ndarray,
     t = np.asarray(t, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     y = y - np.mean(y)  # precenter
+    n = len(t)
     out = np.empty(len(freqs), dtype=np.float64)
     for lo in range(0, len(freqs), chunk):
         w = freqs[lo:lo + chunk][:, None]  # (c, 1)
         wt = w * t[None, :]                # (c, n)
-        sin2 = np.sin(2.0 * wt).sum(axis=1)
-        cos2 = np.cos(2.0 * wt).sum(axis=1)
-        tau = 0.5 * np.arctan2(sin2, cos2) / w[:, 0]
-        arg = w * (t[None, :] - tau[:, None])
-        c = np.cos(arg)
-        sn = np.sin(arg)
-        yc = (y[None, :] * c).sum(axis=1)
-        ys = (y[None, :] * sn).sum(axis=1)
-        cc = (c * c).sum(axis=1)
-        ss = (sn * sn).sum(axis=1)
+        # one sin/cos per (freq, obs); everything else via identities:
+        # sin2wt = 2sc, cos2wt = (c-s)(c+s); cos(wt-wtau) = c*cw + s*sw
+        s = np.sin(wt)
+        c = np.cos(wt)
+        sin2 = 2.0 * (s * c).sum(axis=1)
+        cos2 = ((c - s) * (c + s)).sum(axis=1)
+        wtau = 0.5 * np.arctan2(sin2, cos2)       # = w * tau
+        cw = np.cos(wtau)[:, None]
+        sw = np.sin(wtau)[:, None]
+        carg = c * cw + s * sw                    # cos(w(t - tau))
+        sarg = s * cw - c * sw                    # sin(w(t - tau))
+        yc = (y[None, :] * carg).sum(axis=1)
+        ys = (y[None, :] * sarg).sum(axis=1)
+        # cc + ss = n exactly, so one of the squares suffices
+        cc = (carg * carg).sum(axis=1)
+        ss = n - cc
         out[lo:lo + chunk] = 0.5 * (yc ** 2 / cc + ys ** 2 / ss)
     return out
 

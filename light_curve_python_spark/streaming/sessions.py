@@ -1,0 +1,52 @@
+"""Structured Streaming twins of the batch operators (SURVEY.md §2.9).
+
+- streaming_session_stats: the gap-sessionize operator as F.session_window
+  with a watermark (late rows beyond the watermark are dropped instead of
+  reopening sessions).
+- streaming_bins: the Bins tumbling rebin as F.window.
+
+Both are tested with availableNow triggers over file sources in
+tests/test_streaming.py — the same code runs against Kafka/rate sources on a
+cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["streaming_session_stats", "streaming_bins"]
+
+
+def streaming_session_stats(events: DataFrame, key_col: str = "user_id",
+                            ts_col: str = "ts", gap: str = "30 minutes",
+                            value_col: str = "value",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Per-(key, session) aggregate over a gap-based session window."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(value_col).alias("value_sum"))
+            .select(key_col,
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events", "value_sum"))
+
+
+def streaming_bins(events: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", m_col: str = "value",
+                   sigma_col: str = None, window: str = "1 day",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Tumbling event-time rebin (the Bins meta-feature, streaming form)."""
+    w = F.pow(F.col(sigma_col), F.lit(-2.0)) if sigma_col else F.lit(1.0)
+    return (events
+            .withWatermark(ts_col, watermark)
+            .withColumn("_w", w)
+            .groupBy(F.col(key_col), F.window(F.col(ts_col), window))
+            .agg((F.sum(F.col(m_col) * F.col("_w")) / F.sum("_w"))
+                 .alias(m_col),
+                 F.sqrt(F.count("*") / F.sum("_w")).alias("sigma"),
+                 F.count("*").alias("n_obs"))
+            .select(key_col, F.col("window.start").alias("bin_start"),
+                    m_col, "sigma", "n_obs"))

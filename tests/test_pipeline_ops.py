@@ -1,0 +1,210 @@
+"""Tests for dedup / similarity / text / multimodal / spec / checkpoint /
+sources — the training-data-pipeline operator set."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from light_curve_python_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle,
+    simhash64,
+)
+from light_curve_python_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_and_featurize,
+)
+from light_curve_python_spark.operators.similarity import cosine_topk, lsh_topk
+from light_curve_python_spark.operators.text import (
+    language_id,
+    rolling_fingerprint,
+    text_quality,
+    token_count_bpe_ish,
+)
+from light_curve_python_spark.plans.checkpoint import CheckpointedRun
+from light_curve_python_spark.plans.spec import FeatureSpec
+from light_curve_python_spark.sources.readers import (
+    mag_to_flux,
+    validate_observations,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (2, "the quick brown fox jumps over a lazy dog", "en"),    # near dup
+        (3, "der hund und die katze sind ein team", "de"),
+        (4, "le chat et le chien sont les amis", "fr"),
+        (5, "completely different words entirely here now", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, ["text"]).toPandas().sort_values("doc_id")
+    assert 1 not in set(out.doc_id)  # duplicate dropped, min id kept
+    assert 0 in set(out.doc_id)
+    assert out[out.doc_id == 0].dup_count.iloc[0] == 2
+    assert out[out.doc_id == 2].dup_count.iloc[0] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    sigs = minhash_signatures(docs, n_hashes=16, k=2)
+    pairs = lsh_candidates(sigs, n_hashes=16, bands=8).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got  # identical docs always collide
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    out = ngram_jaccard_pairs(docs, k=2, threshold=0.5).toPandas()
+    got = {(a, b): j for a, b, j in out.to_numpy()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0
+    assert (0, 5) not in got
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    out = simhash64(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    # near dup should be within a few bits
+    x = int(out.loc[0, "simhash"]) ^ int(out.loc[2, "simhash"])
+    assert bin(x & ((1 << 64) - 1)).count("1") <= 16
+
+
+def test_shingle_counts(spark, docs):
+    sh = shingle(docs, k=3).toPandas()
+    n0 = len(sh[sh.doc_id == 0])
+    assert n0 == 7  # 9 words -> 7 distinct trigrams
+
+
+def test_cosine_topk_exact(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 8)).astype(np.float64)
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("vec_id") < 3)
+    got = cosine_topk(df, probes, k=5).toPandas()
+    norms = np.linalg.norm(vecs, axis=1)
+    for pid in range(3):
+        cos = vecs @ vecs[pid] / (norms * norms[pid])
+        cos[pid] = -np.inf
+        want = np.argsort(-cos, kind="stable")[:5]
+        g = got[got.probe_id == pid].sort_values("rank")
+        np.testing.assert_array_equal(g.neighbor_id.to_numpy(), want)
+        np.testing.assert_allclose(
+            g.cosine.to_numpy(), np.sort(cos)[::-1][:5], rtol=1e-9)
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(40, 16))
+    # make clear nearest neighbors: tight pairs
+    vecs = np.vstack([base, base + 0.01 * rng.normal(size=(40, 16))])
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("vec_id") < 5)
+    got = lsh_topk(df, probes, k=1, dim=16, n_planes=6, n_tables=4) \
+        .toPandas()
+    hits = sum(1 for pid in range(5)
+               if not got[(got.probe_id == pid)
+                          & (got.neighbor_id == pid + 40)].empty)
+    assert hits >= 3  # approximate: most twins found
+
+
+def test_text_quality_and_langid(spark, docs):
+    tq = text_quality(docs).toPandas().set_index("doc_id")
+    assert tq.loc[0, "n_words"] == 9
+    assert tq.loc[0, "n_distinct_words"] == 8
+    assert tq.loc[0, "stopword_ratio"] == pytest.approx(2 / 9)
+    li = language_id(docs).toPandas().set_index("doc_id")
+    assert li.loc[0, "predicted_lang"] == "en"
+    assert li.loc[3, "predicted_lang"] == "de"
+    assert li.loc[4, "predicted_lang"] == "fr"
+
+
+def test_token_counts_and_fingerprint(spark, docs):
+    tc = token_count_bpe_ish(spark.createDataFrame(
+        [(9, "hello world 42!")], ["doc_id", "text"])).toPandas()
+    assert tc.n_whitespace_tokens.iloc[0] == 3
+    # hello, world, 4, 2, ! -> 5
+    assert tc.n_bpe_ish_tokens.iloc[0] == 5
+    fp = rolling_fingerprint(docs).toPandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]
+    assert fp.loc[0, "fingerprint"] != fp.loc[2, "fingerprint"]
+
+
+def test_multimodal_stub_pipeline(spark):
+    rows = [("m1", b"\x01\x02\x03"), ("m2", b"\xff" * 100)]
+    df = attach_media_metadata(
+        spark.createDataFrame(rows, ["media_id", "payload"]))
+    assert df.schema["meta"].dataType.fieldNames()[0] == "kind"
+    out = decode_and_featurize(df).toPandas().set_index("media_id")
+    assert out.loc["m1", "n_bytes"] == 3
+    assert len(out.loc["m1", "feature"]) == 8
+    import hashlib
+    assert out.loc["m2", "sha256"] == hashlib.sha256(b"\xff" * 100).hexdigest()
+    with pytest.raises(NotImplementedError):
+        decode_and_featurize(df, codec="real")
+
+
+def test_feature_spec_roundtrip():
+    spec = FeatureSpec.of("amplitude", ("beyond_n_std", {"nstd": 2.0}),
+                          "linear_fit", fill_value=-1.0)
+    j = spec.to_json()
+    back = FeatureSpec.from_json(j)
+    assert back == spec
+    ex = back.to_extractor()
+    assert "beyond_2_std" in ex.names
+    with pytest.raises(ValueError):
+        FeatureSpec.of("not_a_feature")
+
+
+def test_checkpointed_run_resume(spark, tmp_path):
+    from light_curve_python_spark.datagen import generate_probes
+    probes = generate_probes(spark, 12, probes_per_entity=4, seed=1) \
+        .select("doc_id", "ts")
+    out = str(tmp_path / "run1")
+    run = CheckpointedRun(out, "doc_id", n_buckets=4, spec_json="{}")
+    calls = []
+
+    def compute(subset):
+        calls.append(1)
+        return subset.withColumn("feat", F.col("ts") * 2)
+
+    done1 = run.run(probes, compute)
+    assert sorted(done1) == [0, 1, 2, 3]
+    assert len(calls) == 4
+    # resume: nothing to do
+    done2 = run.run(probes, compute)
+    assert done2 == []
+    assert len(calls) == 4
+    result = run.read(spark)
+    assert result.count() == 48
+    # manifest carries lineage + metrics
+    assert len(run.completed_buckets()) == 4
+
+
+def test_validate_and_mag_to_flux(spark):
+    pdf = pd.DataFrame({
+        "doc_id": ["a"] * 5,
+        "t": [1.0, 2.0, 2.0, 3.0, float("nan")],
+        "m": [1.0, 2.0, 2.5, float("inf"), 5.0],
+        "sigma": [0.1] * 5,
+    })
+    out = validate_observations(spark.createDataFrame(pdf)).toPandas() \
+        .sort_values("t")
+    assert len(out) == 2  # nan t dropped, inf m dropped, dup t deduped
+    assert out.t.tolist() == [1.0, 2.0]
+
+    flux = mag_to_flux(spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "t": [1.0], "m": [20.0],
+                      "sigma": [0.1]}))).toPandas()
+    assert flux.m.iloc[0] == pytest.approx(10 ** (-0.4 * 20.0))
