@@ -119,7 +119,9 @@ def _headline_queries(spark, obs_path, probes_path):
 
 def _session(cores: int):
     from light_curve_python_spark.session import get_spark
-    return get_spark(master=f"local[{cores}]", shuffle_partitions=max(cores, 8),
+    # 8 tasks/core: fine enough that the 10x group-cost variance (100 vs
+    # 1000-obs entities) doesn't leave straggler tails
+    return get_spark(master=f"local[{cores}]", shuffle_partitions=cores * 8,
                      app_name=f"lcps-bench-{cores}")
 
 
@@ -157,12 +159,18 @@ def main():
 
     # scaling evidence: identical flagship PIT job at local[8] vs local[32]
     scaling = {}
+    # min of 3: the sandbox host has heavy noisy-neighbor variance (same job
+    # measured 9.8-27.6s); min approximates unloaded capability on both sides
     for cores in (8, 32):
         s = _session(cores)
         _warmup(s, obs_path, probes_path)
-        dt = _time_one(s, lambda sp: _pit_flagship(sp, obs_path, probes_path))
+        runs = [
+            _time_one(s, lambda sp: _pit_flagship(sp, obs_path, probes_path))
+            for _ in range(3)]
+        dt = min(runs)
         scaling[f"local{cores}"] = {
             "sec": round(dt, 3),
+            "runs_sec": [round(r, 2) for r in runs],
             "rows_per_sec": round(n_probe_rows / dt, 1)}
         s.stop()
     scaling["efficiency_8_to_32"] = round(

@@ -39,6 +39,106 @@ __all__ = [
 ]
 
 
+class WindowContext:
+    """Shared per-window intermediates, computed lazily ONCE and reused by
+    every kernel in a battery — the engine's analogue of the reference's
+    Extractor single-pass fusion (features/extractor.py:36-41).  Kernels may
+    provide a ``ctx_func`` consuming this; results are identical to their
+    standalone ``func`` (asserted in tests)."""
+
+    __slots__ = ("t", "m", "sigma", "_cache")
+
+    def __init__(self, t, m, sigma):
+        self.t = t
+        self.m = m
+        self.sigma = sigma
+        self._cache = {}
+
+    def _get(self, key, fn):
+        v = self._cache.get(key)
+        if v is None:
+            v = fn()
+            self._cache[key] = v
+        return v
+
+    @property
+    def n(self):
+        return len(self.m)
+
+    @property
+    def sorted_m(self):
+        return self._get("sorted_m", lambda: np.sort(self.m))
+
+    @property
+    def mean(self):
+        return self._get("mean", lambda: float(np.mean(self.m)))
+
+    @property
+    def centered(self):
+        return self._get("centered", lambda: self.m - self.mean)
+
+    @property
+    def var1(self):
+        """ddof=1 variance."""
+        return self._get("var1", lambda: float(
+            np.dot(self.centered, self.centered) / (self.n - 1))
+            if self.n > 1 else float("nan"))
+
+    @property
+    def std1(self):
+        return self._get("std1", lambda: math.sqrt(self.var1))
+
+    @property
+    def median(self):
+        return self._get("median", lambda: _sorted_median(self.sorted_m))
+
+    @property
+    def diff_m(self):
+        return self._get("diff_m", lambda: np.diff(self.m))
+
+    @property
+    def diff_t(self):
+        return self._get("diff_t", lambda: np.diff(self.t))
+
+    @property
+    def w(self):
+        return self._get("w", lambda: self.sigma ** -2.0)
+
+    @property
+    def wsum(self):
+        return self._get("wsum", lambda: float(np.sum(self.w)))
+
+    @property
+    def wmean(self):
+        return self._get("wmean", lambda: float(
+            np.dot(self.m, self.w) / self.wsum))
+
+    @property
+    def resid(self):
+        """(m - wmean) / sigma."""
+        return self._get("resid",
+                         lambda: (self.m - self.wmean) / self.sigma)
+
+    def hazen(self, qs):
+        return _hazen_sorted(self.sorted_m, qs)
+
+
+def _sorted_median(sm: np.ndarray) -> float:
+    n = len(sm)
+    mid = n // 2
+    return float(sm[mid]) if n % 2 else float(0.5 * (sm[mid - 1] + sm[mid]))
+
+
+def _hazen_sorted(sm: np.ndarray, qs) -> np.ndarray:
+    n = len(sm)
+    q = np.asarray(qs, dtype=np.float64)
+    pos = np.clip(q * n + 0.5 - 1.0, 0.0, n - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n - 1)
+    g = pos - lo
+    return (1.0 - g) * sm[lo] + g * sm[hi]
+
+
 @dataclass(frozen=True)
 class Kernel:
     """One feature extractor: a pure function over a sorted window."""
@@ -50,6 +150,7 @@ class Kernel:
     needs_sigma: bool = False
     needs_t: bool = True          # False => column pruning may drop t
     params: dict = field(default_factory=dict)
+    ctx_func: Optional[Callable[["WindowContext"], np.ndarray]] = None
 
     @property
     def size(self) -> int:
@@ -68,7 +169,12 @@ def _register(key: str):
 
 
 def make_kernel(key: str, **params) -> Kernel:
-    return KERNEL_FACTORIES[key](**params)
+    import dataclasses
+    k = KERNEL_FACTORIES[key](**params)
+    ctx_fac = _CTX_IMPLS.get(key)
+    if ctx_fac is not None and k.ctx_func is None:
+        k = dataclasses.replace(k, ctx_func=ctx_fac(**params))
+    return k
 
 
 # --------------------------------------------------------------------------
@@ -675,13 +781,160 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
 
 
 # --------------------------------------------------------------------------
+# fused (shared-context) implementations — numerically identical to the
+# standalone funcs above, asserted in tests/test_kernels.py
+# --------------------------------------------------------------------------
+
+def _ctx_linear_fit(ctx: WindowContext) -> np.ndarray:
+    n = ctx.n
+    if n < 3:
+        raise ValueError("need >= 3 points")
+    w, t, m = ctx.w, ctx.t, ctx.m
+    S = ctx.wsum
+    wt = w * t
+    St = float(np.sum(wt))
+    Sm = float(np.dot(w, m))
+    Stt = float(np.dot(wt, t))
+    Stm = float(np.dot(wt, m))
+    Smm = float(np.dot(w * m, m))
+    denom = S * Stt - St * St
+    slope = (S * Stm - St * Sm) / denom
+    intercept = (Sm - slope * St) / S
+    chi2 = Smm - intercept * Sm - slope * Stm
+    return np.array([slope,
+                     math.sqrt(1.0 / ((Stt / S - (St / S) ** 2) * S)),
+                     chi2 / (n - 2)])
+
+
+def _ctx_linear_trend(ctx: WindowContext) -> np.ndarray:
+    n = ctx.n
+    if n < 3:
+        raise ValueError("need >= 3 points")
+    dt = ctx.t - np.mean(ctx.t)
+    dm = ctx.centered
+    sxx = float(np.dot(dt, dt))
+    sxy = float(np.dot(dt, dm))
+    syy = float(np.dot(dm, dm))
+    slope = sxy / sxx
+    red = (syy - slope * sxy) / (n - 2)
+    return np.array([slope, math.sqrt(red / sxx), math.sqrt(red)])
+
+
+def _ctx_otsu(ctx: WindowContext) -> np.ndarray:
+    if ctx.n < 2:
+        raise ValueError("need >= 2 points")
+    ms = ctx.sorted_m
+    n = ctx.n
+    arg, mean0, mean1 = _otsu_threshold_arg(ms)
+    lower = ms[: arg + 1]
+    upper = ms[arg + 1:]
+    std_lower = 0.0 if len(lower) == 1 else np.std(lower, ddof=1)
+    std_upper = 0.0 if len(upper) == 1 else np.std(upper, ddof=1)
+    return np.array([mean1[arg] - mean0[arg], std_lower, std_upper,
+                     (arg + 1) / n])
+
+
+def _ctx_anderson(ctx: WindowContext) -> np.ndarray:
+    n = ctx.n
+    std = ctx.std1
+    if std == 0:
+        raise ValueError("zero variance")
+    z = (ctx.sorted_m - ctx.mean) / std
+    cdf = ndtr(z)
+    eps = np.finfo(np.float64).tiny
+    logcdf = np.log(np.clip(cdf, eps, None))
+    logsf = np.log(np.clip(1.0 - cdf, eps, None))
+    i = np.arange(1, n + 1)
+    a2 = -n - np.sum((2 * i - 1.0) / n * (logcdf + logsf[::-1]))
+    return np.array([a2 * (1 + 4.0 / n - 25.0 / n ** 2)])
+
+
+_CTX_IMPLS: Dict[str, Callable[..., Callable]] = {
+    "amplitude": lambda: lambda c: np.array(
+        [0.5 * (c.sorted_m[-1] - c.sorted_m[0])]),
+    "mean": lambda: lambda c: np.array([c.mean]),
+    "median": lambda: lambda c: np.array([c.median]),
+    "standard_deviation": lambda: lambda c: np.array([c.std1]),
+    "mean_variance": lambda: lambda c: np.array([c.std1 / c.mean]),
+    "median_absolute_deviation": lambda: lambda c: np.array(
+        [np.median(np.abs(c.m - c.median))]),
+    "weighted_mean": lambda: lambda c: np.array([c.wmean]),
+    "percent_amplitude": lambda: lambda c: np.array(
+        [max(c.sorted_m[-1] - c.median, c.median - c.sorted_m[0])]),
+    "observation_count": lambda: lambda c: np.array([float(c.n)]),
+    "duration": lambda: lambda c: np.array([c.t[-1] - c.t[0]]),
+    "time_mean": lambda: lambda c: np.array([np.mean(c.t)]),
+    "time_standard_deviation": lambda: lambda c: np.array(
+        [np.std(c.t, ddof=1)]),
+    "maximum_time_interval": lambda: lambda c: np.array([c.diff_t.max()]),
+    "minimum_time_interval": lambda: lambda c: np.array([c.diff_t.min()]),
+    "kurtosis": lambda: lambda c: np.array(
+        [(c.n * (c.n + 1) * float(np.sum(c.centered ** 4)))
+         / ((c.n - 1) * (c.n - 2) * (c.n - 3) * c.var1 ** 2)
+         - 3 * (c.n - 1) ** 2 / ((c.n - 2) * (c.n - 3))]),
+    "skew": lambda: lambda c: np.array(
+        [(float(np.sum(c.centered ** 3)) / c.n)
+         / (float(np.dot(c.centered, c.centered)) / c.n) ** 1.5
+         * math.sqrt(c.n * (c.n - 1)) / (c.n - 2)]),
+    "inter_percentile_range": lambda quantile=0.25: lambda c: np.diff(
+        c.hazen([quantile, 1 - quantile])),
+    "percent_difference_magnitude_percentile":
+        lambda quantile=0.25: lambda c: np.diff(
+            c.hazen([quantile, 1 - quantile])) / c.median,
+    "magnitude_percentage_ratio":
+        lambda quantile_numerator=0.4, quantile_denominator=0.05:
+        lambda c: np.array(
+            [float(np.diff(c.hazen([quantile_numerator,
+                                    1 - quantile_numerator]))[0])
+             / float(np.diff(c.hazen([quantile_denominator,
+                                      1 - quantile_denominator]))[0])]),
+    "median_buffer_range_percentage": lambda quantile=0.1: lambda c: np.array(
+        [np.count_nonzero(
+            np.abs(c.median - c.m)
+            < quantile * (c.sorted_m[-1] - c.sorted_m[0]) / 2) / c.n]),
+    "beyond_n_std": lambda nstd=1.0: lambda c: np.array(
+        [np.count_nonzero(np.abs(c.centered) > nstd * c.std1) / c.n]),
+    "stetson_k": lambda: lambda c: np.array(
+        [float(np.sum(np.abs(c.resid)))
+         / math.sqrt(c.n * float(np.dot(c.resid, c.resid)))]),
+    "excess_variance": lambda: lambda c: np.array(
+        [(c.var1 - float(np.mean(c.sigma ** 2))) / c.mean ** 2]),
+    "reduced_chi2": lambda: lambda c: np.array(
+        [float(np.dot(c.resid, c.resid)) / (c.n - 1)]),
+    "chi2_pvar": lambda: lambda c: np.array(
+        [float(chi2_sf(float(np.dot(c.resid, c.resid)), c.n - 1))]),
+    "roms": lambda: lambda c: np.array(
+        [float(np.sum(np.abs(c.m - c.median) / c.sigma)) / (c.n - 1)]),
+    "cusum": lambda: lambda c: np.array(
+        [float(np.ptp(np.cumsum(c.centered))) / (c.n * c.std1)]),
+    "eta": lambda: lambda c: np.array(
+        [float(np.dot(c.diff_m, c.diff_m)) / ((c.n - 1) * c.var1)]),
+    "eta_e": lambda: lambda c: np.array(
+        [float(np.sum((c.diff_m / c.diff_t) ** 2))
+         * (c.t[-1] - c.t[0]) ** 2 / ((c.n - 1) ** 3 * c.var1)]),
+    "maximum_slope": lambda: lambda c: np.array(
+        [float(np.max(np.abs(c.diff_m / c.diff_t)))]),
+    "lafler_kinman_string_length": lambda: lambda c: np.array(
+        [float(np.dot(c.diff_m, c.diff_m))
+         / float(np.dot(c.centered, c.centered))]),
+    "linear_fit": lambda: _ctx_linear_fit,
+    "linear_trend": lambda: _ctx_linear_trend,
+    "otsu_split": lambda: _ctx_otsu,
+    "anderson_darling_normal": lambda: _ctx_anderson,
+}
+
+
+# --------------------------------------------------------------------------
 # evaluation helpers (fill_value semantics of features/_base.py:28-43)
 # --------------------------------------------------------------------------
 
 def evaluate_kernel(kernel: Kernel, t, m, sigma=None,
-                    fill_value: Optional[float] = np.nan) -> np.ndarray:
+                    fill_value: Optional[float] = np.nan,
+                    ctx: Optional[WindowContext] = None) -> np.ndarray:
     """Evaluate with the reference's fill semantics: errors / non-finite
-    output => vector of fill_value (raise when fill_value is None)."""
+    output => vector of fill_value (raise when fill_value is None).  When a
+    shared WindowContext is supplied and the kernel has a fused impl, common
+    intermediates are reused across the battery."""
     try:
         if len(m) < kernel.min_obs:
             raise ValueError(
@@ -689,7 +942,10 @@ def evaluate_kernel(kernel: Kernel, t, m, sigma=None,
         if kernel.needs_sigma and sigma is None:
             raise ValueError(f"{kernel.key} requires sigma")
         with np.errstate(all="ignore"):
-            out = np.asarray(kernel.func(t, m, sigma), dtype=np.float64)
+            if ctx is not None and kernel.ctx_func is not None:
+                out = np.asarray(kernel.ctx_func(ctx), dtype=np.float64)
+            else:
+                out = np.asarray(kernel.func(t, m, sigma), dtype=np.float64)
         if np.any(~np.isfinite(out)):
             raise ValueError("non-finite output")
         return out
@@ -711,6 +967,8 @@ def default_kernels(keys: Optional[Sequence[str]] = None) -> list:
 def evaluate_many(kernels: Sequence[Kernel], t, m, sigma=None,
                   fill_value: Optional[float] = np.nan) -> np.ndarray:
     """Single-pass evaluation of a kernel list over one window — the analogue
-    of the reference's Extractor fusion (features/extractor.py:36-41)."""
+    of the reference's Extractor fusion (features/extractor.py:36-41):
+    shared intermediates (sort, diffs, moments, weights) computed once."""
+    ctx = WindowContext(t, m, sigma)
     return np.concatenate(
-        [evaluate_kernel(k, t, m, sigma, fill_value) for k in kernels])
+        [evaluate_kernel(k, t, m, sigma, fill_value, ctx) for k in kernels])

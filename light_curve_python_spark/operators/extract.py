@@ -170,10 +170,30 @@ class FeatureExtractor:
             sigma_col: Optional[str] = "sigma", band_col: str = "band",
             ts_col: str = "ts", horizon: Optional[float] = None,
             salt_partitions: Optional[int] = None,
-            hot_threshold: Optional[int] = None) -> DataFrame:
+            hot_threshold: Optional[int] = None,
+            payload_via_join: bool = True) -> DataFrame:
         """Feature vector per probe row, window = {obs : t <= ts
-        [and t > ts - horizon]}.  All probe columns pass through untouched."""
+        [and t > ts - horizon]}.  All probe columns pass through untouched.
+
+        payload_via_join: when probes carry extra columns (token payloads),
+        don't ship them through the Python workers at all — the UDF sees only
+        (entity, ts, uid) and the payload is joined back JVM-side by uid.
+        Byte-identical result (it never leaves the JVM), far less Arrow I/O.
+        """
         sigma_col = sigma_col if self.needs_sigma or sigma_col else None
+        payload_cols = [c for c in probes.columns
+                        if c not in (entity_col, ts_col)]
+        if payload_via_join and payload_cols:
+            probes_uid = probes.withColumn(
+                "_probe_uid", F.monotonically_increasing_id())
+            slim = probes_uid.select(entity_col, ts_col, "_probe_uid")
+            feats = self.extract_point_in_time(
+                obs, slim, entity_col, t_col, m_col, sigma_col, band_col,
+                ts_col, horizon, salt_partitions, hot_threshold,
+                payload_via_join=False)
+            out = probes_uid.join(
+                feats.drop(entity_col, ts_col), "_probe_uid", "inner")
+            return out.drop("_probe_uid")
         ocols = [entity_col, t_col, m_col]
         if sigma_col:
             ocols.append(sigma_col)
@@ -219,9 +239,9 @@ class FeatureExtractor:
                 else:
                     feats[j] = this._eval_window_banded(
                         t[sl], m[sl], sw, codes[sl])
-            for i, n in enumerate(names):
-                out[n] = feats[:, i]
-            return out
+            # single concat, not 40 per-column inserts per group
+            return pd.concat(
+                [out, pd.DataFrame(feats, columns=list(names))], axis=1)
 
         grouped = obs_p.groupby(*group_keys).cogroup(
             probes.groupby(*group_keys))

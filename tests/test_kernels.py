@@ -354,3 +354,19 @@ def test_all_registry_keys_instantiate(curve):
         out = evaluate_kernel(k, t, m, s, fill_value=np.nan)
         assert out.shape == (k.size,)
         assert len(k.names) == k.size
+
+
+def test_ctx_fused_equals_plain(curve):
+    """Fused shared-context implementations == standalone funcs (allclose at
+    float-noise level) for every kernel that has one."""
+    from light_curve_python_spark.functions.kernels import (
+        _CTX_IMPLS, WindowContext)
+    t, m, s = curve
+    ctx = WindowContext(t, m, s)
+    for key in _CTX_IMPLS:
+        k = make_kernel(key)
+        assert k.ctx_func is not None
+        a = np.asarray(k.func(t, m, s), dtype=np.float64)
+        b = np.asarray(k.ctx_func(ctx), dtype=np.float64)
+        np.testing.assert_allclose(a, b, rtol=1e-12, equal_nan=True,
+                                   err_msg=key)
