@@ -834,6 +834,116 @@ FROM words GROUP BY doc_id
 """
 
 
+def q_feat_colors(spark, sf_dir):
+    """Multiband color features over events with a deterministic synthetic
+    band (event_id parity)."""
+    from light_curve_python_spark.functions.multiband import (
+        color_features_sql, color_spread_sql)
+    ev = _ev(spark, sf_dir).withColumn(
+        "band", F.when(F.col("event_id") % 2 == 0, F.lit("g"))
+        .otherwise(F.lit("r")))
+    colors = color_features_sql(ev, "g", "r", entity="user_id")
+    spread = color_spread_sql(ev, ["g", "r"], entity="user_id")
+    return _round6(colors.join(spread, "user_id"))
+
+
+SQL_COLORS = f"""
+WITH ev AS ({EV_SQL}),
+b AS (SELECT *, CASE WHEN event_id % 2 = 0 THEN 'g' ELSE 'r' END AS band
+      FROM ev),
+colors AS (SELECT user_id,
+    max(CASE WHEN band = 'g' THEN m END)
+      - max(CASE WHEN band = 'r' THEN m END) AS color_of_maximum,
+    quantile_cont(CASE WHEN band = 'g' THEN m END, 0.5)
+      - quantile_cont(CASE WHEN band = 'r' THEN m END, 0.5)
+      AS color_of_median,
+    min(CASE WHEN band = 'g' THEN m END)
+      - min(CASE WHEN band = 'r' THEN m END) AS color_of_minimum
+  FROM b GROUP BY user_id),
+wm AS (SELECT user_id, band,
+         sum(m * power(sigma, -2)) / sum(power(sigma, -2)) AS wmean
+       FROM b GROUP BY user_id, band),
+spread AS (SELECT user_id, stddev_pop(wmean) AS color_spread
+           FROM wm GROUP BY user_id)
+SELECT colors.user_id,
+  ROUND(color_of_maximum, 6) AS color_of_maximum,
+  ROUND(color_of_median, 6) AS color_of_median,
+  ROUND(color_of_minimum, 6) AS color_of_minimum,
+  ROUND(color_spread, 6) AS color_spread
+FROM colors JOIN spread ON colors.user_id = spread.user_id
+"""
+
+DMDT = dict(lgdt_min=-4.0, lgdt_max=1.5, n_dt=12,
+            dm_min=-500.0, dm_max=500.0, n_dm=10)
+
+
+def q_dmdt_map(spark, sf_dir):
+    from light_curve_python_spark.operators.dmdt import dmdt_points_sql
+    ev = _ev(spark, sf_dir)
+    return dmdt_points_sql(ev, entity="user_id", **DMDT)
+
+
+SQL_DMDT = f"""
+WITH ev AS ({EV_SQL}),
+pairs AS (SELECT a.user_id, b.t - a.t AS dt, b.m - a.m AS dm
+          FROM ev a JOIN ev b
+            ON a.user_id = b.user_id AND b.t > a.t),
+binned AS (SELECT user_id,
+    floor((log10(dt) - ({DMDT['lgdt_min']}))
+          / {(DMDT['lgdt_max'] - DMDT['lgdt_min']) / DMDT['n_dt']})
+      AS dt_bin,
+    floor((dm - ({DMDT['dm_min']}))
+          / {(DMDT['dm_max'] - DMDT['dm_min']) / DMDT['n_dm']}) AS dm_bin
+  FROM pairs)
+SELECT user_id, CAST(dt_bin AS BIGINT) AS dt_bin,
+       CAST(dm_bin AS BIGINT) AS dm_bin, count(*) AS pair_count
+FROM binned
+WHERE dt_bin >= 0 AND dt_bin < {DMDT['n_dt']}
+  AND dm_bin >= 0 AND dm_bin < {DMDT['n_dm']}
+GROUP BY user_id, dt_bin, dm_bin
+"""
+
+
+def q_seq_reduce_end(spark, sf_dir):
+    """Sequence reduction (strategy 'end', seq 16) over embedding arrays —
+    the token-window operator on the driver's array-typed table."""
+    from light_curve_python_spark.operators.reductions import reduce_sequence
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = reduce_sequence(emb, arr_col="embedding", seq_size=16,
+                          strategy="end", id_col="vec_id")
+    return out.select("vec_id", "sequence")
+
+
+SQL_SEQ_REDUCE_END = """
+SELECT vec_id, embedding[49:64] AS sequence FROM embeddings
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from light_curve_python_spark.operators.text import language_id
+    return language_id(_docs(spark, sf_dir))
+
+
+def _langid_sql():
+    from light_curve_python_spark.operators.text import LANG_STOPWORDS
+    unions = " UNION ALL ".join(
+        f"""SELECT doc_id,
+              '{lang}' AS lang,
+              len(list_filter(string_split(text, ' '),
+                              w -> w IN ({', '.join(repr(w) for w in sw)})))
+                AS hits
+            FROM documents"""
+        for lang, sw in sorted(LANG_STOPWORDS.items()))
+    # F.greatest over (hits, lang) structs: max hits, ties -> max lang string
+    return f"""
+WITH scores AS ({unions}),
+pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY hits DESC, lang DESC) AS rk FROM scores)
+SELECT doc_id, lang AS predicted_lang, hits AS stopword_hits
+FROM pick WHERE rk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -869,6 +979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
+        "feat_colors_multiband": q_feat_colors,
+        "dmdt_map": q_dmdt_map,
+        "seq_reduce_end": q_seq_reduce_end,
+        "lang_id": q_lang_id,
     }
 
 
@@ -898,6 +1012,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "doc_fingerprint": SQL_FINGERPRINT,
         "text_quality": SQL_TEXT_QUALITY,
+        "feat_colors_multiband": SQL_COLORS,
+        "dmdt_map": SQL_DMDT,
+        "seq_reduce_end": SQL_SEQ_REDUCE_END,
+        "lang_id": _langid_sql(),
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)
     return {k: v.replace("ROUND(", f"ROUND({EPS_ROUND} + ")

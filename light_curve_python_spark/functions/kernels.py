@@ -743,16 +743,31 @@ def periodogram_power(t, m, *, resolution=10.0, max_freq_factor=1.0,
 def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
                          max_freq_factor: float = 1.0,
                          nyquist: object = "average",
-                         normalization: str = "psd") -> Kernel:
+                         normalization: str = "psd",
+                         features: Sequence[str] = (),
+                         phase_features: Sequence[str] = ()) -> Kernel:
     """Peak periods + S/N, names period_{i} / period_s_to_n_{i}.
 
     Peak = strict local maximum of the power grid, strongest first;
     S/N = (P_peak − mean(P)) / std(P, ddof=1).  Constructor parameter surface
     mirrors src/features.rs:4550-4563 (defaults: peaks=1, resolution=10,
     max_freq_factor=1, nyquist='average', normalization='psd').
+
+    Composition (src/features.rs:4418-4468):
+    - ``features``: kernel keys applied to the (freq, power) spectrum as a
+      time series, names prefixed ``spectrum_``;
+    - ``phase_features``: kernel keys applied to the curve folded at the
+      best period (phase 0 at the magnitude minimum, phase in [0,1),
+      re-sorted by phase), names prefixed ``period_folded_``.
     """
+    spec_kernels = [make_kernel(k) for k in features]
+    fold_kernels = [make_kernel(k) for k in phase_features]
     names = tuple(
-        x for i in range(peaks) for x in (f"period_{i}", f"period_s_to_n_{i}"))
+        x for i in range(peaks)
+        for x in (f"period_{i}", f"period_s_to_n_{i}"))
+    names += tuple(f"spectrum_{n}" for k in spec_kernels for n in k.names)
+    names += tuple(
+        f"period_folded_{n}" for k in fold_kernels for n in k.names)
 
     def fn(t, m, s):
         freqs, power = periodogram_power(
@@ -772,12 +787,27 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
         for rank, i in enumerate(order):
             out[2 * rank] = 2.0 * math.pi / freqs[i]
             out[2 * rank + 1] = (power[i] - p_mean) / p_std
-        return out
+        parts = [out]
+        if spec_kernels:
+            parts.append(evaluate_many(spec_kernels, freqs, power, None,
+                                       fill_value=np.nan))
+        if fold_kernels:
+            best_period = 2.0 * math.pi / freqs[order[0]]
+            t0 = t[int(np.argmin(m))]
+            phase = np.mod((t - t0) / best_period, 1.0)
+            ordr = np.argsort(phase, kind="mergesort")
+            parts.append(evaluate_many(
+                fold_kernels, phase[ordr], m[ordr],
+                None if s is None else s[ordr], fill_value=np.nan))
+        return np.concatenate(parts)
 
     return Kernel(key="periodogram", names=names, func=fn, min_obs=3,
+                  needs_sigma=any(k.needs_sigma for k in fold_kernels),
                   params={"peaks": peaks, "resolution": resolution,
                           "max_freq_factor": max_freq_factor,
-                          "nyquist": nyquist, "normalization": normalization})
+                          "nyquist": nyquist, "normalization": normalization,
+                          "features": tuple(features),
+                          "phase_features": tuple(phase_features)})
 
 
 # --------------------------------------------------------------------------

@@ -29,9 +29,9 @@ def _duck(sf_dir: str):
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
-            continue
-        df[c] = pd.to_numeric(df[c], errors="ignore")
+        if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(
+                lambda v: tuple(np.asarray(v, dtype=np.float64).round(6)))
     return df.sort_values(list(df.columns), na_position="first") \
         .reset_index(drop=True)
 

@@ -1,0 +1,212 @@
+"""Tests for multiband colors, dm-dt maps, sequence reductions, and the
+periodogram composition (spectrum + phase-folded features)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from light_curve_python_spark.datagen import (
+    generate_observations,
+    generate_sequences,
+)
+from light_curve_python_spark.functions.kernels import (
+    evaluate_kernel,
+    make_kernel,
+)
+from light_curve_python_spark.functions.multiband import (
+    color_features_sql,
+    color_of,
+    color_spread,
+    color_spread_sql,
+)
+from light_curve_python_spark.operators.dmdt import (
+    dmdt_gausses_kernel,
+    dmdt_points_kernel,
+    dmdt_points_sql,
+    linear_edges,
+    log_dt_edges,
+    normalize_dmdt,
+)
+from light_curve_python_spark.operators.reductions import (
+    non_overlapping_windows,
+    reduce_sequence,
+)
+
+
+@pytest.fixture(scope="module")
+def obs(spark):
+    return generate_observations(spark, 10, seed=21,
+                                 n_obs_choices=(40,)).cache()
+
+
+def test_color_features_sql(spark, obs):
+    got = color_features_sql(obs, "g", "r").toPandas().set_index("doc_id")
+    pdf = obs.toPandas()
+    for doc_id, row in got.iterrows():
+        g = pdf[(pdf.doc_id == doc_id) & (pdf.band == "g")].m.to_numpy()
+        r = pdf[(pdf.doc_id == doc_id) & (pdf.band == "r")].m.to_numpy()
+        assert row.color_of_maximum == pytest.approx(g.max() - r.max())
+        assert row.color_of_minimum == pytest.approx(g.min() - r.min())
+        assert row.color_of_median == pytest.approx(
+            np.median(g) - np.median(r))
+        codes = pd.Categorical(pdf[pdf.doc_id == doc_id].band,
+                               categories=["g", "r"]).codes
+        assert color_of("max", pdf[pdf.doc_id == doc_id].m.to_numpy(),
+                        codes, 0, 1) == pytest.approx(row.color_of_maximum)
+
+
+def test_color_spread_sql(spark, obs):
+    got = color_spread_sql(obs, ["g", "r"]).toPandas().set_index("doc_id")
+    pdf = obs.toPandas()
+    for doc_id, row in got.iterrows():
+        d = pdf[pdf.doc_id == doc_id]
+        wmeans = []
+        for b in ("g", "r"):
+            sub = d[d.band == b]
+            w = sub.sigma.to_numpy() ** -2.0
+            wmeans.append(np.average(sub.m.to_numpy(), weights=w))
+        assert row.color_spread == pytest.approx(np.std(wmeans), rel=1e-9)
+        codes = pd.Categorical(d.band, categories=["g", "r"]).codes
+        assert color_spread(d.m.to_numpy(), d.sigma.to_numpy(), codes, 2) \
+            == pytest.approx(row.color_spread, rel=1e-9)
+
+
+def test_dmdt_kernel_vs_brute():
+    rng = np.random.default_rng(5)
+    n = 60
+    t = np.sort(rng.uniform(0, 100, n))
+    m = rng.uniform(15, 21, n)
+    dt_edges = log_dt_edges(-1, 2, 8)
+    dm_edges = linear_edges(-3, 3, 8)
+    got = dmdt_points_kernel(t, m, dt_edges, dm_edges)
+    brute = np.zeros_like(got)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dt, dm = t[j] - t[i], m[j] - m[i]
+            di = np.searchsorted(dt_edges, dt, side="right") - 1
+            dj = np.searchsorted(dm_edges, dm, side="right") - 1
+            if 0 <= di < 8 and 0 <= dj < 8:
+                brute[di, dj] += 1
+    np.testing.assert_array_equal(got, brute)
+    assert got.sum() <= n * (n - 1) / 2
+    # normalizations
+    nd = normalize_dmdt(got, ("dt",))
+    rows = got.sum(axis=1)
+    np.testing.assert_allclose(nd.sum(axis=1)[rows > 0], 1.0)
+    nm = normalize_dmdt(got, ("max",))
+    assert nm.max() == 1.0
+
+
+def test_dmdt_gausses_mass_conservation():
+    rng = np.random.default_rng(6)
+    n = 30
+    t = np.sort(rng.uniform(0, 100, n))
+    m = rng.uniform(-0.5, 0.5, n)
+    sigma = np.full(n, 0.05)
+    dt_edges = log_dt_edges(-1, 2, 8)
+    dm_edges = linear_edges(-10, 10, 40)  # wide => mass ~1 per pair
+    got = dmdt_gausses_kernel(t, m, sigma, dt_edges, dm_edges)
+    pts = dmdt_points_kernel(t, m, dt_edges, np.array([-10.0, 10.0]))
+    np.testing.assert_allclose(got.sum(axis=1), pts[:, 0], atol=1e-9)
+
+
+def test_dmdt_sql_matches_kernel(spark, obs):
+    lgmin, lgmax, ndt = -1.0, 3.0, 10
+    dmmin, dmmax, ndm = -6.0, 6.0, 12
+    got = dmdt_points_sql(obs, lgdt_min=lgmin, lgdt_max=lgmax, n_dt=ndt,
+                          dm_min=dmmin, dm_max=dmmax, n_dm=ndm).toPandas()
+    pdf = obs.toPandas()
+    dt_edges = np.logspace(lgmin, lgmax, ndt + 1)
+    dm_edges = np.linspace(dmmin, dmmax, ndm + 1)
+    for doc_id, grp in pdf.sort_values("t").groupby("doc_id"):
+        want = dmdt_points_kernel(grp.t.to_numpy(), grp.m.to_numpy(),
+                                  dt_edges, dm_edges)
+        sub = got[got.doc_id == doc_id]
+        dense = np.zeros_like(want)
+        for _, r in sub.iterrows():
+            dense[int(r.dt_bin), int(r.dm_bin)] = r.pair_count
+        np.testing.assert_array_equal(dense, want)
+
+
+def test_reduce_sequence_strategies(spark):
+    seqs = generate_sequences(spark, 12, seed=3).cache()
+    pdf = seqs.toPandas().set_index("doc_id")
+    for strategy in ("beginning", "end", "middle", "random_subsample"):
+        out = reduce_sequence(seqs, seq_size=32, strategy=strategy) \
+            .toPandas().set_index("doc_id")
+        for doc_id, row in out.iterrows():
+            tok = np.asarray(pdf.loc[doc_id, "tokens"])
+            seq = np.asarray(row.sequence)
+            mask = np.asarray(row["mask"])
+            assert len(seq) == 32 and len(mask) == 32
+            real = min(len(tok), 32)
+            assert mask.sum() == real
+            assert (seq[~mask] == 0).all()
+            if strategy == "beginning":
+                np.testing.assert_array_equal(seq[:real], tok[:32])
+            elif strategy == "end":
+                np.testing.assert_array_equal(seq[:real], tok[-32:])
+            elif strategy == "middle":
+                n = len(tok)
+                cut = n // 2
+                start = max(0, min(cut - 16, n - 32))
+                np.testing.assert_array_equal(seq[:real],
+                                              tok[start:start + 32])
+            else:  # random_subsample: order-preserving subset
+                kept = seq[:real]
+                idx = []
+                pos = 0
+                for v in kept:
+                    while pos < len(tok) and tok[pos] != v:
+                        pos += 1
+                    assert pos < len(tok), "not an order-preserving subset"
+                    idx.append(pos)
+                    pos += 1
+
+
+def test_random_subsample_deterministic(spark):
+    seqs = generate_sequences(spark, 6, seed=3)
+    a = reduce_sequence(seqs, seq_size=16, strategy="random_subsample",
+                        seed=7).toPandas().sort_values("doc_id")
+    b = reduce_sequence(seqs.repartition(5), seq_size=16,
+                        strategy="random_subsample", seed=7) \
+        .toPandas().sort_values("doc_id")
+    for x, y in zip(a.sequence, b.sequence):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_non_overlapping_windows(spark):
+    seqs = generate_sequences(spark, 8, seed=4).cache()
+    pdf = seqs.toPandas().set_index("doc_id")
+    out = non_overlapping_windows(seqs, seq_size=50).toPandas()
+    for doc_id, grp in out.groupby("doc_id"):
+        tok = np.asarray(pdf.loc[doc_id, "tokens"])
+        assert len(grp) == math.ceil(len(tok) / 50)
+        grp = grp.sort_values("window_idx")
+        rebuilt = np.concatenate([np.asarray(s) for s in grp.sequence])
+        masks = np.concatenate([np.asarray(s) for s in grp["mask"]])
+        np.testing.assert_array_equal(rebuilt[masks], tok)
+        assert (rebuilt[~masks] == 0).all()
+
+
+def test_periodogram_composition():
+    rng = np.random.default_rng(8)
+    period = 5.0
+    t = np.sort(rng.uniform(0, 100, 400))
+    m = np.sin(2 * np.pi / period * t) + 0.05 * rng.normal(size=400)
+    k = make_kernel("periodogram", peaks=1, max_freq_factor=2.0,
+                    features=("amplitude", "standard_deviation"),
+                    phase_features=("amplitude", "eta"))
+    assert "spectrum_amplitude" in k.names
+    assert "period_folded_amplitude" in k.names
+    out = evaluate_kernel(k, t, m, None, fill_value=None)
+    d = dict(zip(k.names, out))
+    assert d["period_0"] == pytest.approx(period, rel=0.01)
+    # folded sine keeps nearly full amplitude; eta of folded curve is small
+    # (smooth) vs eta of a shuffled curve (~2)
+    assert d["period_folded_amplitude"] > 0.8
+    assert d["period_folded_eta"] < 0.5
+    assert d["spectrum_amplitude"] > 0
