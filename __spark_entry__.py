@@ -15,6 +15,10 @@ both sides so the driver's order-insensitive value-hash matches:
 
 from __future__ import annotations
 
+import functools
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -31,6 +35,38 @@ from light_curve_python_spark.operators.windows import (
     rolling_range_agg,
     with_lag_lead,
 )
+
+# ship the engine package to executor Python workers regardless of the
+# driver's cwd/PYTHONPATH — the spark-submit --py-files contract, applied
+# automatically so any externally created SparkSession works
+_SHIPPED: set = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import light_curve_python_spark as pkg
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "lcps_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
+def _shipped(fn):
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        _ensure_pyfiles(spark)
+        return fn(spark, sf_dir)
+    return wrapper
+
 
 T0 = 1704067200.0          # epoch of 2024-01-01 00:00:00 UTC
 DAY = 86400.0
@@ -950,11 +986,12 @@ FROM pick WHERE rk = 1
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time kernel feature extraction at sf0.001."""
+    _ensure_pyfiles(spark)
     return q_pit_features_kernel(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q = {
         "tpch_q1": q_tpch_q1,
         "feat_simple_stats": q_feat_simple_stats,
         "feat_quantiles_hazen": q_feat_quantiles,
@@ -984,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_reduce_end": q_seq_reduce_end,
         "lang_id": q_lang_id,
     }
+    return {name: _shipped(fn) for name, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -23,6 +23,8 @@ import re
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -119,10 +121,13 @@ def _headline_queries(spark, obs_path, probes_path):
 
 def _session(cores: int):
     from light_curve_python_spark.session import get_spark
+    import __spark_entry__ as E
     # 8 tasks/core: fine enough that the 10x group-cost variance (100 vs
     # 1000-obs entities) doesn't leave straggler tails
-    return get_spark(master=f"local[{cores}]", shuffle_partitions=cores * 8,
-                     app_name=f"lcps-bench-{cores}")
+    s = get_spark(master=f"local[{cores}]", shuffle_partitions=cores * 8,
+                  app_name=f"lcps-bench-{cores}")
+    E._ensure_pyfiles(s)  # executors import the package from any cwd
+    return s
 
 
 def _warmup(spark, obs_path, probes_path):
