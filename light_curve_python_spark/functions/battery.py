@@ -1,0 +1,536 @@
+"""PrefixBattery — expanding-window vectorized evaluation.
+
+Point-in-time probes over one entity are *prefixes* of the time-sorted
+observation arrays (window = t <= ts).  Evaluating each probe independently
+re-does O(window) work per probe; this module computes a whole probe set in
+one pass:
+
+- prefix cumulative sums (m, m², m³, m⁴, t, t², w, w·m, w·t, w·t·m, w·t²,
+  w·m², Δm², (Δm/Δt)², |m-med|? no — see below) → most moment/OLS/dispersion
+  features become O(1) per probe via fancy indexing;
+- running extrema (max/min of m, Δt, |Δm/Δt|, m±σ) → amplitude/slope/interval
+  features O(1);
+- an incrementally *merged* sorted prefix (each probe's new observations are
+  merge-inserted, never re-sorted) → order-statistics features (median,
+  Hazen quantiles, Otsu, Anderson-Darling, counts-in-range) at O(window)
+  numpy work without any per-probe sort;
+- a small per-probe residual loop only for genuinely non-prefix sums
+  (StetsonK / Roms absolute deviations around window-dependent centers,
+  Cusum ptp).
+
+Numerically: cumulative-sum forms differ from the two-pass kernel forms by
+O(1e-12) relative — asserted against ``evaluate_many`` at rtol 1e-9 in
+tests/test_battery.py.  fill_value/min_obs semantics identical to
+``evaluate_kernel``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .kernels import Kernel, WindowContext, evaluate_kernel
+from .special import chi2_sf, ndtr
+
+__all__ = ["PrefixBattery"]
+
+
+def _csum(x):
+    out = np.empty(len(x) + 1)
+    out[0] = 0.0
+    np.cumsum(x, out=out[1:])
+    return out
+
+
+def _runmax(x):
+    return np.maximum.accumulate(x)
+
+
+def _runmin(x):
+    return np.minimum.accumulate(x)
+
+
+class _Ctx:
+    """Lazy prefix-arrays over one entity's sorted observations."""
+
+    def __init__(self, t, m, sigma, ends):
+        self.t = t
+        self.m = m
+        self.sigma = sigma
+        self.ends = ends                       # (P,) int window lengths
+        self.k = ends.astype(np.float64)
+        self.n = len(t)
+        # shifted copies: central-moment prefix sums computed on these stay
+        # well-conditioned (raw power sums lose ~(mean/std)^p digits to
+        # cancellation).  Anchor = FIRST observation, which belongs to every
+        # prefix window — so rows after a cutoff can never perturb that
+        # window's arithmetic, keeping zero-leakage BIT-exact (a global mean
+        # anchor would drift by 1 ulp when post-cutoff rows are added)
+        self.ms = m - (m[0] if len(m) else 0.0)
+        self.ts = t - (t[0] if len(t) else 0.0)
+        self._c = {}
+
+    def get(self, key):
+        v = self._c.get(key)
+        if v is not None:
+            return v
+        t, m, s = self.t, self.m, self.sigma
+        if key == "cm":
+            v = _csum(m)
+        elif key == "cms":
+            v = _csum(self.ms)
+        elif key == "cms2":
+            v = _csum(self.ms * self.ms)
+        elif key == "cms3":
+            v = _csum(self.ms ** 3)
+        elif key == "cms4":
+            v = _csum(self.ms ** 4)
+        elif key == "ct":
+            v = _csum(t)
+        elif key == "cts":
+            v = _csum(self.ts)
+        elif key == "cts2":
+            v = _csum(self.ts * self.ts)
+        elif key == "ctsms":
+            v = _csum(self.ts * self.ms)
+        elif key == "cwms":
+            v = _csum(self.get("w") * self.ms)
+        elif key == "cwms2":
+            v = _csum(self.get("w") * self.ms * self.ms)
+        elif key == "w":
+            v = s ** -2.0
+        elif key == "cw":
+            v = _csum(self.get("w"))
+        elif key == "cwm":
+            v = _csum(self.get("w") * m)
+        elif key == "cwm2":
+            v = _csum(self.get("w") * m * m)
+        elif key == "cwt":
+            v = _csum(self.get("w") * t)
+        elif key == "cwt2":
+            v = _csum(self.get("w") * t * t)
+        elif key == "cwtm":
+            v = _csum(self.get("w") * t * m)
+        elif key == "cs2":
+            v = _csum(s * s)
+        elif key == "dm":
+            v = np.diff(m)
+        elif key == "dt":
+            v = np.diff(t)
+        elif key == "cdm2":
+            v = _csum(self.get("dm") ** 2)
+        elif key == "cslope2":
+            v = _csum((self.get("dm") / self.get("dt")) ** 2)
+        elif key == "runmax_m":
+            v = _runmax(m)
+        elif key == "runmin_m":
+            v = _runmin(m)
+        elif key == "runmax_dt":
+            v = _runmax(self.get("dt")) if self.n > 1 else np.empty(0)
+        elif key == "runmin_dt":
+            v = _runmin(self.get("dt")) if self.n > 1 else np.empty(0)
+        elif key == "runmax_absslope":
+            v = (_runmax(np.abs(self.get("dm") / self.get("dt")))
+                 if self.n > 1 else np.empty(0))
+        elif key == "runmax_msub":
+            v = _runmax(m - s)
+        elif key == "runmin_madd":
+            v = _runmin(m + s)
+        elif key == "cumsum_m":
+            v = np.cumsum(m)
+        else:
+            raise KeyError(key)
+        self._c[key] = v
+        return v
+
+    # window-indexed helpers --------------------------------------------------
+    def S(self, key):
+        """prefix sum evaluated at each window end."""
+        return self.get(key)[self.ends]
+
+    def last(self, key):
+        """running array evaluated at index end-1 (requires ends >= 1)."""
+        arr = self.get(key)
+        idx = np.clip(self.ends - 1, 0, max(len(arr) - 1, 0))
+        if len(arr) == 0:
+            return np.full(len(self.ends), np.nan)
+        return arr[idx]
+
+    def diff_last(self, key):
+        """running-diff array at index end-2 (requires ends >= 2)."""
+        arr = self.get(key)
+        idx = np.clip(self.ends - 2, 0, max(len(arr) - 1, 0))
+        if len(arr) == 0:
+            return np.full(len(self.ends), np.nan)
+        return arr[idx]
+
+    @property
+    def mean(self):
+        return self.S("cm") / self.k
+
+    @property
+    def var1(self):
+        return (self.S("cms2") - self.S("cms") ** 2 / self.k) / (self.k - 1)
+
+    @property
+    def wchi2(self):
+        """sum w (m - wmean)^2, shift-stable."""
+        return self.S("cwms2") - self.S("cwms") ** 2 / self.S("cw")
+
+    @property
+    def std1(self):
+        return np.sqrt(self.var1)
+
+    @property
+    def wmean(self):
+        return self.S("cwm") / self.S("cw")
+
+
+class PrefixBattery:
+    """Compiled probe-set evaluator for a kernel list.
+
+    Kernels whose key is in SUPPORTED are computed via prefix math (plus the
+    sorted-prefix loop); any other kernel falls back to per-window
+    ``evaluate_kernel`` on the sliced arrays, so every registry feature works
+    here — only speed differs.
+    """
+
+    PREFIX_KEYS = {
+        "observation_count", "mean", "standard_deviation", "mean_variance",
+        "weighted_mean", "kurtosis", "skew", "amplitude", "duration",
+        "time_mean", "time_standard_deviation", "maximum_time_interval",
+        "minimum_time_interval", "eta", "eta_e", "maximum_slope",
+        "lafler_kinman_string_length", "linear_fit", "linear_trend",
+        "reduced_chi2", "excess_variance", "chi2_pvar", "peak_to_peak_var",
+        "beyond_n_std",
+    }
+    SORTED_KEYS = {
+        "median", "median_absolute_deviation", "percent_amplitude",
+        "inter_percentile_range", "percent_difference_magnitude_percentile",
+        "magnitude_percentage_ratio", "median_buffer_range_percentage",
+        "otsu_split", "anderson_darling_normal",
+    }
+    LOOP_KEYS = {"stetson_k", "roms", "cusum"}
+    SUPPORTED = PREFIX_KEYS | SORTED_KEYS | LOOP_KEYS
+
+    def __init__(self, kernels: Sequence[Kernel],
+                 fill_value: Optional[float] = np.nan):
+        self.kernels = list(kernels)
+        self.fill_value = fill_value
+        self.size = sum(k.size for k in kernels)
+        self.needs_sorted = any(k.key in self.SORTED_KEYS or
+                                k.key in self.LOOP_KEYS
+                                for k in kernels)
+        self.needs_loop = any(k.key in self.LOOP_KEYS for k in kernels)
+        self.fallback = [k for k in kernels if k.key not in self.SUPPORTED]
+
+    # ---- public ----------------------------------------------------------
+
+    def evaluate_prefixes(self, t, m, sigma, ends) -> np.ndarray:
+        """(P, total_size) feature matrix; ends[i] = window length of probe
+        i (0 allowed => all-fill row)."""
+        ends = np.asarray(ends, dtype=np.int64)
+        P = len(ends)
+        out = np.empty((P, self.size), dtype=np.float64)
+        if P == 0:
+            return out
+        ctx = _Ctx(np.asarray(t, np.float64), np.asarray(m, np.float64),
+                   None if sigma is None else np.asarray(sigma, np.float64),
+                   ends)
+        sorted_stats = self._sorted_pass(ctx) if self.needs_sorted else {}
+        col = 0
+        for kern in self.kernels:
+            with np.errstate(all="ignore"):
+                block = self._eval_kernel(kern, ctx, sorted_stats)
+            block = np.atleast_2d(
+                np.asarray(block, dtype=np.float64))
+            if block.shape[0] != P:
+                block = block.T
+            # fill semantics: min_obs + non-finite
+            bad = ends < kern.min_obs
+            bad |= ~np.isfinite(block).all(axis=1)
+            if bad.any():
+                if self.fill_value is None:
+                    raise ValueError(f"{kern.key}: fill required")
+                block[bad] = float(self.fill_value)
+            out[:, col:col + kern.size] = block
+            col += kern.size
+        return out
+
+    @property
+    def names(self) -> List[str]:
+        return [n for k in self.kernels for n in k.names]
+
+    # ---- sorted-prefix pass ------------------------------------------------
+
+    def _sorted_pass(self, ctx: _Ctx) -> Dict[str, np.ndarray]:
+        """Maintain a merged sorted prefix; per probe compute the order
+        statistics every sorted-family kernel needs."""
+        order = np.argsort(ctx.ends, kind="mergesort")
+        P = len(ctx.ends)
+        need_keys = {k.key for k in self.kernels}
+        qs = set()
+        for k in self.kernels:
+            p = k.params
+            if k.key == "inter_percentile_range" or \
+                    k.key == "percent_difference_magnitude_percentile":
+                q = p.get("quantile", 0.25)
+                qs |= {q, 1 - q}
+            elif k.key == "magnitude_percentage_ratio":
+                qn = p.get("quantile_numerator", 0.4)
+                qd = p.get("quantile_denominator", 0.05)
+                qs |= {qn, 1 - qn, qd, 1 - qd}
+        qs = sorted(qs)
+        res = {
+            "median": np.full(P, np.nan),
+            "medabsdev": np.full(P, np.nan),
+            "otsu": np.full((P, 4), np.nan),
+            "ad": np.full(P, np.nan),
+            "mbrp_count": np.full(P, np.nan),
+            "stetson_num": np.full(P, np.nan),
+            "roms_sum": np.full(P, np.nan),
+            "cusum_ptp": np.full(P, np.nan),
+        }
+        res["quantiles"] = {q: np.full(P, np.nan) for q in qs}
+        mbrp_q = next((k.params.get("quantile", 0.1) for k in self.kernels
+                       if k.key == "median_buffer_range_percentage"), None)
+        need_median = bool(need_keys & {
+            "median", "median_absolute_deviation", "percent_amplitude",
+            "percent_difference_magnitude_percentile",
+            "median_buffer_range_percentage", "roms"})
+        need_otsu = "otsu_split" in need_keys
+        need_ad = "anderson_darling_normal" in need_keys
+        need_stetson = "stetson_k" in need_keys
+        need_roms = "roms" in need_keys
+        need_cusum = "cusum" in need_keys
+        need_medabsdev = "median_absolute_deviation" in need_keys
+
+        s = np.empty(0)
+        prev = 0
+        m = ctx.m
+        sig = ctx.sigma
+        cumsum_m = ctx.get("cumsum_m") if need_cusum else None
+        cw = ctx.get("cw") if need_stetson else None
+        cwm = ctx.get("cwm") if need_stetson else None
+
+        for pi in order:
+            k = int(ctx.ends[pi])
+            if k > prev:
+                chunk = np.sort(m[prev:k])
+                if len(s) == 0:
+                    s = chunk
+                else:
+                    pos = np.searchsorted(s, chunk)
+                    s = np.insert(s, pos, chunk)
+                prev = k
+            if k == 0:
+                continue
+            win_s = s  # sorted prefix of length k
+            if need_median:
+                mid = k // 2
+                med = (win_s[mid] if k % 2
+                       else 0.5 * (win_s[mid - 1] + win_s[mid]))
+                res["median"][pi] = med
+            for q in qs:
+                pos = min(max(q * k + 0.5 - 1.0, 0.0), k - 1.0)
+                lo = int(pos)
+                hi = min(lo + 1, k - 1)
+                g = pos - lo
+                res["quantiles"][q][pi] = (1 - g) * win_s[lo] + g * win_s[hi]
+            if need_medabsdev and k >= 1:
+                dev = np.abs(win_s - res["median"][pi])
+                res["medabsdev"][pi] = np.partition(dev, k // 2)[k // 2] \
+                    if k % 2 else np.median(dev)
+            if mbrp_q is not None:
+                width = mbrp_q * (win_s[-1] - win_s[0]) / 2
+                med = res["median"][pi]
+                lo_i = np.searchsorted(win_s, med - width, side="right")
+                hi_i = np.searchsorted(win_s, med + width, side="left")
+                # strict |med - m| < width
+                res["mbrp_count"][pi] = max(hi_i - lo_i, 0)
+            if need_otsu and k >= 2:
+                amounts = np.arange(1, k)
+                cum0 = np.cumsum(win_s)[:-1]
+                tot = cum0[-1] + win_s[-1]
+                mean0 = cum0 / amounts
+                mean1 = (tot - cum0) / (k - amounts)
+                w0 = amounts / k
+                icv = w0 * (1 - w0) * (mean0 - mean1) ** 2
+                arg = int(np.argmax(icv))
+                lower = win_s[:arg + 1]
+                upper = win_s[arg + 1:]
+                res["otsu"][pi] = (
+                    mean1[arg] - mean0[arg],
+                    0.0 if len(lower) == 1 else np.std(lower, ddof=1),
+                    0.0 if len(upper) == 1 else np.std(upper, ddof=1),
+                    (arg + 1) / k)
+            if need_ad and k >= 4:
+                mean = win_s.mean()
+                std = win_s.std(ddof=1)
+                if std > 0:
+                    z = (win_s - mean) / std
+                    cdf = ndtr(z)
+                    eps = np.finfo(np.float64).tiny
+                    logcdf = np.log(np.clip(cdf, eps, None))
+                    logsf = np.log(np.clip(1.0 - cdf, eps, None))
+                    i = np.arange(1, k + 1)
+                    a2 = -k - np.sum((2 * i - 1.0) / k
+                                     * (logcdf + logsf[::-1]))
+                    res["ad"][pi] = a2 * (1 + 4.0 / k - 25.0 / k ** 2)
+            if need_stetson and sig is not None and k >= 2:
+                mu = cwm[k] / cw[k]
+                res["stetson_num"][pi] = float(
+                    np.sum(np.abs((m[:k] - mu) / sig[:k])))
+            if need_roms and sig is not None and k >= 2:
+                res["roms_sum"][pi] = float(
+                    np.sum(np.abs(m[:k] - res["median"][pi]) / sig[:k]))
+            if need_cusum and k >= 2:
+                c = cumsum_m[:k] - np.arange(1, k + 1) * (cumsum_m[k - 1] / k)
+                res["cusum_ptp"][pi] = float(c.max() - c.min())
+        return res
+
+    # ---- per-kernel dispatch -------------------------------------------------
+
+    def _eval_kernel(self, kern: Kernel, ctx: _Ctx, ss: dict) -> np.ndarray:
+        key = kern.key
+        k = ctx.k
+        P = len(ctx.ends)
+        if key in {k_.key for k_ in self.fallback}:
+            return self._eval_fallback(kern, ctx)
+        if key == "observation_count":
+            return k.copy()
+        if key == "mean":
+            return ctx.mean
+        if key == "standard_deviation":
+            return ctx.std1
+        if key == "mean_variance":
+            return ctx.std1 / ctx.mean
+        if key == "weighted_mean":
+            return ctx.wmean
+        if key == "amplitude":
+            return 0.5 * (ctx.last("runmax_m") - ctx.last("runmin_m"))
+        if key == "duration":
+            return ctx.t[np.clip(ctx.ends - 1, 0, None)] - ctx.t[0]
+        if key == "time_mean":
+            return ctx.S("ct") / k
+        if key == "time_standard_deviation":
+            return np.sqrt((ctx.S("cts2") - ctx.S("cts") ** 2 / k) / (k - 1))
+        if key == "maximum_time_interval":
+            return ctx.diff_last("runmax_dt")
+        if key == "minimum_time_interval":
+            return ctx.diff_last("runmin_dt")
+        if key == "maximum_slope":
+            return ctx.diff_last("runmax_absslope")
+        if key == "eta":
+            return (ctx.get("cdm2")[np.clip(ctx.ends - 1, 0, None)]
+                    / ((k - 1) * ctx.var1))
+        if key == "eta_e":
+            span = ctx.t[np.clip(ctx.ends - 1, 0, None)] - ctx.t[0]
+            return (ctx.get("cslope2")[np.clip(ctx.ends - 1, 0, None)]
+                    * span ** 2 / ((k - 1) ** 3 * ctx.var1))
+        if key == "lafler_kinman_string_length":
+            css = ctx.S("cms2") - ctx.S("cms") ** 2 / k
+            return ctx.get("cdm2")[np.clip(ctx.ends - 1, 0, None)] / css
+        if key == "kurtosis":
+            d = ctx.S("cms") / k  # window mean of the shifted values
+            s4 = (ctx.S("cms4") - 4 * d * ctx.S("cms3")
+                  + 6 * d ** 2 * ctx.S("cms2") - 3 * k * d ** 4)
+            return (k * (k + 1) * s4
+                    / ((k - 1) * (k - 2) * (k - 3) * ctx.var1 ** 2)
+                    - 3 * (k - 1) ** 2 / ((k - 2) * (k - 3)))
+        if key == "skew":
+            d = ctx.S("cms") / k
+            s2 = ctx.S("cms2") - k * d ** 2
+            s3 = (ctx.S("cms3") - 3 * d * ctx.S("cms2") + 2 * k * d ** 3)
+            g1 = (s3 / k) / (s2 / k) ** 1.5
+            return g1 * np.sqrt(k * (k - 1)) / (k - 2)
+        if key == "beyond_n_std":
+            # count outside [mean ± n·std] on the sorted prefix would need
+            # the sorted pass; use prefix-free vector form per window via
+            # sorted stats if available, else fall back
+            return self._eval_fallback(kern, ctx)
+        if key == "excess_variance":
+            return (ctx.var1 - ctx.S("cs2") / k) / ctx.mean ** 2
+        if key == "reduced_chi2":
+            return ctx.wchi2 / (k - 1)
+        if key == "chi2_pvar":
+            chi2 = ctx.wchi2
+            with np.errstate(all="ignore"):
+                dof = np.maximum(ctx.ends - 1, 1)
+                return np.where(
+                    ctx.ends >= 2,
+                    chi2_sf(np.maximum(chi2, 0.0), dof), np.nan)
+        if key == "peak_to_peak_var":
+            a = ctx.last("runmax_msub")
+            b = ctx.last("runmin_madd")
+            neg = ctx.last("runmin_m") < 0
+            out = (a - b) / (a + b)
+            out[neg] = np.nan  # reference raises on negative flux
+            return out
+        if key == "linear_fit":
+            S = ctx.S("cw")
+            St = ctx.S("cwt")
+            Sm = ctx.S("cwm")
+            Stt = ctx.S("cwt2")
+            Stm = ctx.S("cwtm")
+            Smm = ctx.S("cwm2")
+            denom = S * Stt - St * St
+            slope = (S * Stm - St * Sm) / denom
+            intercept = (Sm - slope * St) / S
+            chi2 = Smm - intercept * Sm - slope * Stm
+            sig = np.sqrt(1.0 / ((Stt / S - (St / S) ** 2) * S))
+            return np.stack([slope, sig, chi2 / (k - 2)], axis=1)
+        if key == "linear_trend":
+            sxx = ctx.S("cts2") - ctx.S("cts") ** 2 / k
+            sxy = ctx.S("ctsms") - ctx.S("cts") * ctx.S("cms") / k
+            syy = ctx.S("cms2") - ctx.S("cms") ** 2 / k
+            slope = sxy / sxx
+            red = (syy - slope * sxy) / (k - 2)
+            return np.stack([slope, np.sqrt(red / sxx), np.sqrt(red)],
+                            axis=1)
+        # sorted-family + loop features from the sorted pass
+        if key == "median":
+            return ss["median"]
+        if key == "median_absolute_deviation":
+            return ss["medabsdev"]
+        if key == "percent_amplitude":
+            med = ss["median"]
+            return np.maximum(ctx.last("runmax_m") - med,
+                              med - ctx.last("runmin_m"))
+        if key == "inter_percentile_range":
+            q = kern.params.get("quantile", 0.25)
+            return ss["quantiles"][1 - q] - ss["quantiles"][q]
+        if key == "percent_difference_magnitude_percentile":
+            q = kern.params.get("quantile", 0.25)
+            return (ss["quantiles"][1 - q] - ss["quantiles"][q]) \
+                / ss["median"]
+        if key == "magnitude_percentage_ratio":
+            qn = kern.params.get("quantile_numerator", 0.4)
+            qd = kern.params.get("quantile_denominator", 0.05)
+            return (ss["quantiles"][1 - qn] - ss["quantiles"][qn]) \
+                / (ss["quantiles"][1 - qd] - ss["quantiles"][qd])
+        if key == "median_buffer_range_percentage":
+            return ss["mbrp_count"] / k
+        if key == "otsu_split":
+            return ss["otsu"]
+        if key == "anderson_darling_normal":
+            return ss["ad"]
+        if key == "stetson_k":
+            return ss["stetson_num"] / np.sqrt(k * ctx.wchi2)
+        if key == "roms":
+            return ss["roms_sum"] / (k - 1)
+        if key == "cusum":
+            return ss["cusum_ptp"] / (k * ctx.std1)
+        return self._eval_fallback(kern, ctx)
+
+    def _eval_fallback(self, kern: Kernel, ctx: _Ctx) -> np.ndarray:
+        out = np.empty((len(ctx.ends), kern.size))
+        for i, e in enumerate(ctx.ends):
+            sl = slice(0, int(e))
+            out[i] = evaluate_kernel(
+                kern, ctx.t[sl], ctx.m[sl],
+                None if ctx.sigma is None else ctx.sigma[sl],
+                fill_value=self.fill_value)
+        return out

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.battery import PrefixBattery
 from ..functions.kernels import Kernel, evaluate_many, make_kernel
 from ..functions.transforms import apply_transform_column
 
@@ -211,12 +212,15 @@ class FeatureExtractor:
         schema = T.StructType(probe_fields + self._feature_fields())
         names = self.names
         this = self
+        # prefix-vectorized path: full-history windows, single band —
+        # evaluates the entire probe set of a group in one pass
+        battery = (PrefixBattery(self.kernels, self.fill_value)
+                   if horizon is None and self.bands is None else None)
 
         def fn(obs_pdf: pd.DataFrame, probes_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(probes_pdf) == 0:
                 return pd.DataFrame(columns=[f.name for f in schema.fields])
             out = probes_pdf.reset_index(drop=True)
-            feats = np.empty((len(out), len(names)), dtype=np.float64)
             if len(obs_pdf) == 0:
                 t = m = np.empty(0)
                 s = np.empty(0) if sigma_col else None
@@ -226,19 +230,24 @@ class FeatureExtractor:
                 t, m, s, codes = this._prepare_arrays(
                     obs_pdf, t_col, m_col, sigma_col, band_col)
             cutoffs = out[ts_col].to_numpy(dtype=np.float64)
-            for j, cutoff in enumerate(cutoffs):
-                hi = np.searchsorted(t, cutoff, side="right")
-                # inclusive lower bound: t >= ts - horizon, matching
-                # Window.rangeBetween(-horizon, 0)
-                lo = (np.searchsorted(t, cutoff - horizon, side="left")
-                      if horizon is not None else 0)
-                sl = slice(lo, hi)
-                sw = None if s is None else s[sl]
-                if codes is None:
-                    feats[j] = this._eval_window(t[sl], m[sl], sw)
-                else:
-                    feats[j] = this._eval_window_banded(
-                        t[sl], m[sl], sw, codes[sl])
+            if battery is not None:
+                ends = np.searchsorted(t, cutoffs, side="right")
+                feats = battery.evaluate_prefixes(t, m, s, ends)
+            else:
+                feats = np.empty((len(out), len(names)), dtype=np.float64)
+                for j, cutoff in enumerate(cutoffs):
+                    hi = np.searchsorted(t, cutoff, side="right")
+                    # inclusive lower bound: t >= ts - horizon, matching
+                    # Window.rangeBetween(-horizon, 0)
+                    lo = (np.searchsorted(t, cutoff - horizon, side="left")
+                          if horizon is not None else 0)
+                    sl = slice(lo, hi)
+                    sw = None if s is None else s[sl]
+                    if codes is None:
+                        feats[j] = this._eval_window(t[sl], m[sl], sw)
+                    else:
+                        feats[j] = this._eval_window_banded(
+                            t[sl], m[sl], sw, codes[sl])
             # single concat, not 40 per-column inserts per group
             return pd.concat(
                 [out, pd.DataFrame(feats, columns=list(names))], axis=1)

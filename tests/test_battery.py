@@ -1,0 +1,108 @@
+"""PrefixBattery must match per-window evaluate_many for every supported
+kernel, across window sizes including degenerate ones (0, 1, 2, full)."""
+
+import numpy as np
+import pytest
+
+from light_curve_python_spark.functions.battery import PrefixBattery
+from light_curve_python_spark.functions.kernels import (
+    evaluate_many,
+    make_kernel,
+)
+
+BATTERY = [
+    "amplitude", "mean", "median", "standard_deviation", "mean_variance",
+    "median_absolute_deviation", "weighted_mean", "kurtosis", "skew",
+    "percent_amplitude", "observation_count", "duration", "time_mean",
+    "time_standard_deviation", "maximum_time_interval",
+    "minimum_time_interval", "inter_percentile_range",
+    "percent_difference_magnitude_percentile", "magnitude_percentage_ratio",
+    "median_buffer_range_percentage", "beyond_n_std", "stetson_k",
+    "excess_variance", "reduced_chi2", "chi2_pvar", "roms", "cusum", "eta",
+    "eta_e", "maximum_slope", "anderson_darling_normal",
+    "lafler_kinman_string_length", "linear_fit", "linear_trend",
+    "otsu_split",
+]
+
+
+@pytest.fixture(scope="module")
+def curve():
+    rng = np.random.default_rng(42)
+    n = 800
+    t = np.sort(rng.uniform(0, 1000, n))
+    m = rng.uniform(15, 21, n)
+    sigma = rng.uniform(0.01, 0.2, n)
+    return t, m, sigma
+
+
+def _check(kernels, t, m, s, ends, rtol=1e-9):
+    battery = PrefixBattery(kernels, fill_value=np.nan)
+    got = battery.evaluate_prefixes(t, m, s, ends)
+    names = battery.names
+    for i, e in enumerate(ends):
+        want = evaluate_many(kernels, t[:e], m[:e],
+                             None if s is None else s[:e],
+                             fill_value=np.nan)
+        np.testing.assert_allclose(
+            got[i], want, rtol=rtol, atol=1e-12, equal_nan=True,
+            err_msg=f"window {e}: " + str(
+                [(n_, a, b) for n_, a, b in zip(names, got[i], want)
+                 if not (np.isclose(a, b, rtol=rtol, atol=1e-12)
+                         or (np.isnan(a) and np.isnan(b)))]))
+
+
+def test_battery_matches_per_window(curve):
+    t, m, s = curve
+    kernels = [make_kernel(k) for k in BATTERY]
+    rng = np.random.default_rng(0)
+    ends = np.concatenate([[0, 1, 2, 3, 4, 5, len(t)],
+                           rng.integers(6, len(t), 30)])
+    _check(kernels, t, m, s, ends)
+
+
+def test_battery_unsorted_probe_order(curve):
+    """ends arrive in arbitrary (probe) order; results must align."""
+    t, m, s = curve
+    kernels = [make_kernel(k) for k in ("mean", "median", "otsu_split")]
+    ends = np.array([500, 10, 800, 10, 0, 333])
+    _check(kernels, t, m, s, ends)
+
+
+def test_battery_parameterized_kernels(curve):
+    t, m, s = curve
+    kernels = [make_kernel("beyond_n_std", nstd=2.0),
+               make_kernel("inter_percentile_range", quantile=0.1),
+               make_kernel("median_buffer_range_percentage", quantile=0.3),
+               make_kernel("magnitude_percentage_ratio",
+                           quantile_numerator=0.3,
+                           quantile_denominator=0.02)]
+    ends = np.array([7, 50, 400, 800])
+    _check(kernels, t, m, s, ends)
+
+
+def test_battery_fallback_kernel(curve):
+    """Unsupported kernels (periodogram) run via the per-window fallback."""
+    t, m, s = curve
+    kernels = [make_kernel("mean"), make_kernel("periodogram")]
+    ends = np.array([100, 300])
+    _check(kernels, t, m, s, ends, rtol=1e-9)
+
+
+def test_battery_speed(curve):
+    """The point of the exercise: a 48-probe set must be much cheaper than
+    48 independent evaluations."""
+    import time
+    t, m, s = curve
+    kernels = [make_kernel(k) for k in BATTERY]
+    battery = PrefixBattery(kernels, fill_value=np.nan)
+    ends = np.linspace(10, len(t), 48).astype(int)
+    battery.evaluate_prefixes(t, m, s, ends)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        battery.evaluate_prefixes(t, m, s, ends)
+    batched = (time.perf_counter() - t0) / 5
+    t0 = time.perf_counter()
+    for e in ends:
+        evaluate_many(kernels, t[:e], m[:e], s[:e])
+    loop = time.perf_counter() - t0
+    assert batched < loop / 2, (batched, loop)
