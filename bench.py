@@ -58,8 +58,14 @@ def _force(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+N_BUCKETS = 256
+
+
 def _ensure_synth(spark):
-    """Deterministic synthetic observations/probes for this sf (cached)."""
+    """Deterministic synthetic observations/probes for this sf (cached),
+    plus doc_id-bucketed copies (the Iceberg bucket(N, doc_id) analog):
+    the cogroup then needs ZERO exchanges — the same plan a production
+    bucketed/Iceberg table gives on a cluster."""
     from light_curve_python_spark.datagen import (
         generate_observations,
         generate_probes,
@@ -74,16 +80,47 @@ def _ensure_synth(spark):
     if not os.path.exists(probes_path):
         generate_probes(spark, N_ENTITIES, PROBES_PER_ENTITY, seed=42) \
             .write.mode("overwrite").parquet(probes_path)
+    if not os.path.exists(f"{CACHE}/sf{SF}/wh/obs_b"):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bench LOCATION "
+                  f"'{CACHE}/sf{SF}/wh'")
+        spark.read.parquet(obs_path).write.mode("overwrite") \
+            .format("parquet").bucketBy(N_BUCKETS, "doc_id") \
+            .sortBy("doc_id", "t").saveAsTable("bench.obs_b")
+        spark.read.parquet(probes_path).write.mode("overwrite") \
+            .format("parquet").bucketBy(N_BUCKETS, "doc_id") \
+            .saveAsTable("bench.probes_b")
     return obs_path, probes_path
 
 
+def _register_bucketed(spark):
+    """Attach the pre-bucketed files as external tables (in-memory catalog
+    => re-register per session)."""
+    wh = f"{CACHE}/sf{SF}/wh"
+    spark.sql("CREATE DATABASE IF NOT EXISTS bench LOCATION "
+              f"'{wh}'")
+    spark.sql(f"""
+        CREATE TABLE IF NOT EXISTS bench.obs_b
+        (doc_id STRING, t DOUBLE, m DOUBLE, sigma DOUBLE, band STRING)
+        USING parquet CLUSTERED BY (doc_id) SORTED BY (doc_id, t)
+        INTO {N_BUCKETS} BUCKETS LOCATION '{wh}/obs_b'""")
+    spark.sql(f"""
+        CREATE TABLE IF NOT EXISTS bench.probes_b
+        (doc_id STRING, ts DOUBLE, tokens ARRAY<INT>, n_tok INT,
+         source STRING)
+        USING parquet CLUSTERED BY (doc_id)
+        INTO {N_BUCKETS} BUCKETS LOCATION '{wh}/probes_b'""")
+    return spark.table("bench.obs_b"), spark.table("bench.probes_b")
+
+
 def _pit_flagship(spark, obs_path, probes_path):
+    """Bucketed-table path: zero exchanges into the cogroup.  Salting is off
+    here — bucket co-location already pins each entity to one task and the
+    PrefixBattery evaluates its whole probe set in one pass; the salted path
+    stays exercised by tests and the non-bucketed API."""
     from light_curve_python_spark.operators.extract import FeatureExtractor
-    obs = spark.read.parquet(obs_path)
-    probes = spark.read.parquet(probes_path)
+    obs, probes = _register_bucketed(spark)
     ex = FeatureExtractor(FULL_BATTERY)
-    return ex.extract_point_in_time(
-        obs, probes, salt_partitions=8, hot_threshold=5000)
+    return ex.extract_point_in_time(obs, probes)
 
 
 def _headline_queries(spark, obs_path, probes_path):
