@@ -259,6 +259,21 @@ class FeatureExtractor:
             out = out.drop("_salt")
         return self._apply_transforms(out)
 
+    # ---- Bins meta-feature composition -------------------------------------
+
+    def extract_binned(self, obs: DataFrame, window: float,
+                       offset: float = 0.0, entity_col: str = "doc_id",
+                       t_col: str = "t", m_col: str = "m",
+                       sigma_col: str = "sigma") -> DataFrame:
+        """The reference's ``Bins(features, window, offset)`` meta-feature
+        (features/bins.py:14-40): inverse-variance rebin into tumbling
+        windows, then this extractor over the binned series."""
+        from .bins import bin_series
+        binned = bin_series(obs, entity_col, t_col, m_col, sigma_col,
+                            window=window, offset=offset)
+        return self.extract(binned, entity_col, t_col, m_col, sigma_col,
+                            band_col=None)
+
     # ---- skew salting ------------------------------------------------------
 
     @staticmethod
