@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the scale claims in the docstrings are checked
+against .explain output, not taken on faith.
+
+- single-shuffle operators really have exactly one Exchange;
+- multi-stage features reuse the entity partitioning (no extra Exchange);
+- small dimension joins broadcast;
+- parquet filters reach the scan (PushedFilters);
+- bucketed tables feed the cogroup with zero Exchanges.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_curve_python_spark.datagen import (
+    generate_observations,
+    generate_probes,
+)
+from light_curve_python_spark.functions import sqlfeatures as SQ
+from light_curve_python_spark.operators.asof import asof_join
+from light_curve_python_spark.operators.bins import bin_series
+from light_curve_python_spark.operators.sessionize import sessionize
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    # count shuffle exchanges only (not BroadcastExchange)
+    return len(re.findall(r"(?<!Broadcast)Exchange (?:hashpartitioning|"
+                          r"rangepartitioning|SinglePartition)", _plan(df)))
+
+
+@pytest.fixture(scope="module")
+def obs(spark):
+    return generate_observations(spark, 10, seed=1, n_obs_choices=(20,))
+
+
+def test_asof_join_single_shuffle(spark, obs):
+    probes = generate_probes(spark, 10, 4, seed=1).select("doc_id", "ts")
+    out = asof_join(probes, obs.select("doc_id", "t", "m"), on="doc_id",
+                    value_cols=["m"])
+    assert _n_exchanges(out) == 1, _plan(out)
+
+
+def test_sessionize_single_shuffle(spark, obs):
+    out = sessionize(obs, "doc_id", "t", gap=10.0)
+    assert _n_exchanges(out) == 1, _plan(out)
+
+
+def test_bins_single_shuffle(spark, obs):
+    out = bin_series(obs, window=10.0)
+    assert _n_exchanges(out) == 1, _plan(out)
+
+
+def test_multistage_features_reuse_partitioning(spark, obs):
+    """dispersion = lag/cumsum windows THEN aggregate, all on the entity key:
+    Catalyst must plan ONE exchange, not one per stage."""
+    out = SQ.dispersion_stats(obs, "doc_id", "t", "m")
+    assert _n_exchanges(out) == 1, _plan(out)
+    out2 = SQ.weighted_stats(obs, "doc_id", "m", "sigma")
+    assert _n_exchanges(out2) <= 2, _plan(out2)
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_type") == "purchase").select("user_id", "value")
+    plan = _plan(ev)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" \
+        in plan, plan
+    # column pruning: scan must not read props/ts
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "props" not in m.group(1), plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dim = docs.select("lang").distinct().withColumn("flag", F.lit(1))
+    out = docs.join(F.broadcast(dim), "lang")
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_bucketed_cogroup_zero_exchange(spark, tmp_path_factory, obs):
+    import pandas as pd
+    wh = str(tmp_path_factory.mktemp("wh"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS pt LOCATION '{wh}'")
+    obs.write.mode("overwrite").format("parquet") \
+        .bucketBy(4, "doc_id").sortBy("doc_id", "t").saveAsTable("pt.o")
+    generate_probes(spark, 10, 4, seed=1).select("doc_id", "ts") \
+        .write.mode("overwrite").format("parquet") \
+        .bucketBy(4, "doc_id").saveAsTable("pt.p")
+
+    def fn(a, b):
+        if len(b) == 0:
+            return pd.DataFrame({"doc_id": [], "x": []})
+        return pd.DataFrame({"doc_id": [b.doc_id.iloc[0]],
+                             "x": [float(len(a))]})
+
+    g = spark.table("pt.o").groupby("doc_id").cogroup(
+        spark.table("pt.p").groupby("doc_id")) \
+        .applyInPandas(fn, "doc_id string, x double")
+    assert _n_exchanges(g) == 0, _plan(g)

@@ -119,3 +119,27 @@ def test_csv_ingest(spark, tmp_path):
     assert set(df.doc_id) == {"obj1", "obj2"}
     assert len(df) == 60
     assert set(df.columns) >= {"doc_id", "t", "m", "sigma"}
+
+
+def test_multiband_periodogram(spark):
+    from light_curve_python_spark.operators.spectral import (
+        multiband_periodogram)
+    rng = np.random.default_rng(4)
+    period = 6.0
+    frames = []
+    for e in range(3):
+        n = 300
+        t = np.sort(rng.uniform(0, 150, n))
+        m = np.sin(2 * np.pi / period * t) + 0.05 * rng.normal(size=n)
+        frames.append(pd.DataFrame({
+            "doc_id": f"e{e}", "t": t, "m": m,
+            "sigma": np.full(n, 0.05),
+            "band": np.resize(["g", "r"], n)}))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    for weighting in ("chi2", "count"):
+        got = multiband_periodogram(df, ["g", "r"], peaks=1,
+                                    max_freq_factor=2.0,
+                                    weighting=weighting).toPandas()
+        np.testing.assert_allclose(got["period_0"].to_numpy(),
+                                   [period] * 3, rtol=0.02)
+        assert (got["period_s_to_n_0"] > 3).all()
