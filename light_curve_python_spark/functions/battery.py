@@ -236,6 +236,11 @@ class PrefixBattery:
         out = np.empty((P, self.size), dtype=np.float64)
         if P == 0:
             return out
+        if len(t) == 0:  # every window empty => all fill
+            if self.fill_value is None:
+                raise ValueError("empty observation set")
+            out[:] = float(self.fill_value)
+            return out
         ctx = _Ctx(np.asarray(t, np.float64), np.asarray(m, np.float64),
                    None if sigma is None else np.asarray(sigma, np.float64),
                    ends)

@@ -1,0 +1,126 @@
+"""Property-based metamorphic tests (hypothesis), mirroring the reference's
+invariance suite (SURVEY.md §5.5): battery ≡ per-window kernels on arbitrary
+inputs, shift/scale equivariances, degenerate windows."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from light_curve_python_spark.functions.battery import PrefixBattery
+from light_curve_python_spark.functions.kernels import (
+    evaluate_kernel,
+    evaluate_many,
+    make_kernel,
+)
+
+KEYS = ["amplitude", "mean", "median", "standard_deviation",
+        "median_absolute_deviation", "weighted_mean", "kurtosis", "skew",
+        "percent_amplitude", "inter_percentile_range", "beyond_n_std",
+        "stetson_k", "reduced_chi2", "roms", "cusum", "eta", "eta_e",
+        "maximum_slope", "linear_fit", "linear_trend", "otsu_split",
+        "anderson_darling_normal", "lafler_kinman_string_length"]
+
+
+@st.composite
+def curves(draw, max_n=60):
+    n = draw(st.integers(min_value=0, max_value=max_n))
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    t = np.sort(rng.uniform(0, 100, n))
+    # occasionally constant m (zero variance) to hit fill paths
+    if draw(st.booleans()) and n > 0:
+        m = np.full(n, 17.0)
+    else:
+        m = rng.uniform(15, 21, n)
+    sigma = rng.uniform(0.01, 0.2, n)
+    return t, m, sigma
+
+
+@settings(max_examples=40, deadline=None)
+@given(curves(), st.integers(0, 2**31 - 1))
+def test_battery_equals_per_window_everywhere(curve, seed):
+    t, m, s = curve
+    n = len(t)
+    rng = np.random.default_rng(seed)
+    ends = rng.integers(0, n + 1, size=6)
+    kernels = [make_kernel(k) for k in KEYS]
+    battery = PrefixBattery(kernels, fill_value=np.nan)
+    names = battery.names
+    got = battery.evaluate_prefixes(t, m, s, ends)
+    for i, e in enumerate(ends):
+        want = evaluate_many(kernels, t[:e], m[:e], s[:e], np.nan)
+        g, w = got[i].copy(), want.copy()
+        if e > 0 and np.std(m[:e]) == 0:
+            # stetson_k on an exactly-constant window is a 0/0: the
+            # per-window path returns eps-noise garbage, the battery fills —
+            # neither value is meaningful, so exclude it here
+            j = names.index("stetson_k")
+            g[j] = w[j] = 0.0
+        # atol 1e-8: quantities that are exactly 0 mathematically (e.g.
+        # linear_fit chi2 on constant m) carry ~1e-10 cancellation residue
+        # that differs between summation orders
+        np.testing.assert_allclose(g, w, rtol=1e-7, atol=1e-8,
+                                   equal_nan=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(curves(max_n=50))
+def test_time_shift_invariance(curve):
+    """m-features must not change when t is globally shifted."""
+    t, m, s = curve
+    if len(t) < 5:
+        return
+    shift_invariant = ["amplitude", "mean", "median", "standard_deviation",
+                       "eta", "maximum_slope", "otsu_split", "duration",
+                       "eta_e", "linear_trend"]
+    ks = [make_kernel(k) for k in shift_invariant]
+    a = evaluate_many(ks, t, m, s, np.nan)
+    b = evaluate_many(ks, t + 1234.5, m, s, np.nan)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-9, equal_nan=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(curves(max_n=50))
+def test_magnitude_shift_equivariance(curve):
+    """Adding a constant to m: amplitude/std/eta/cusum invariant; mean and
+    median shift by exactly that constant."""
+    t, m, s = curve
+    if len(t) < 5 or np.std(m) == 0:
+        return
+    c = 7.25
+    inv = [make_kernel(k) for k in
+           ["amplitude", "standard_deviation", "eta", "cusum",
+            "median_absolute_deviation", "inter_percentile_range"]]
+    a = evaluate_many(inv, t, m, s, np.nan)
+    b = evaluate_many(inv, t, m + c, s, np.nan)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-9, equal_nan=True)
+    assert evaluate_kernel(make_kernel("mean"), t, m + c, s)[0] == \
+        pytest.approx(evaluate_kernel(make_kernel("mean"), t, m, s)[0] + c)
+
+
+@settings(max_examples=20, deadline=None)
+@given(curves(max_n=40))
+def test_fill_on_constant_m(curve):
+    """Zero variance must yield fill_value (not inf/nan leakage) in every
+    variance-normalized feature, identically in both evaluation paths."""
+    t, _, s = curve
+    n = len(t)
+    if n < 4:
+        return
+    m = np.full(n, 17.0)
+    # variance-normalized features are undefined => fill; beyond_n_std and
+    # mean_variance stay finite on constant m (0.0, matching the reference)
+    must_fill = [make_kernel(k) for k in
+                 ["eta", "cusum", "anderson_darling_normal", "skew",
+                  "kurtosis"]]
+    finite = [make_kernel(k) for k in ["beyond_n_std", "mean_variance"]]
+    per = evaluate_many(must_fill, t, m, s, fill_value=-9.0)
+    bat = PrefixBattery(must_fill, fill_value=-9.0).evaluate_prefixes(
+        t, m, s, np.array([n]))[0]
+    assert (per == -9.0).all()
+    np.testing.assert_array_equal(per, bat)
+    perf = evaluate_many(finite, t, m, s, fill_value=-9.0)
+    batf = PrefixBattery(finite, fill_value=-9.0).evaluate_prefixes(
+        t, m, s, np.array([n]))[0]
+    assert perf[0] == 0.0  # beyond: count(|0|>0)/n
+    np.testing.assert_allclose(perf, batf, rtol=1e-12, atol=1e-12)
