@@ -101,10 +101,13 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         "event_id", "user_id", "event_type", "props",
-        # parquet ts is TIMESTAMP_NTZ in Spark 4; session tz is UTC so the
-        # two-step cast yields the same naive epoch DuckDB's epoch() gives
-        ((F.col("ts").cast("timestamp").cast("double") - F.lit(T0))
-         / F.lit(DAY)).alias("t"),
+        # parquet ts is TIMESTAMP_NTZ in Spark 4; timestampdiff against the
+        # NTZ epoch is session-timezone-INDEPENDENT and equals DuckDB's
+        # epoch(ts) (a tz-dependent cast would shift by the driver session's
+        # offset — verified with an America/New_York session)
+        ((F.expr("timestampdiff(MICROSECOND, "
+                 "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") / F.lit(1e6)
+          - F.lit(T0)) / F.lit(DAY)).alias("t"),
         F.col("value").alias("m"),
         (F.lit(0.05) + F.lit(0.1)
          * F.abs(F.sin(F.col("event_id").cast("double")))).alias("sigma"),
