@@ -183,9 +183,13 @@ class FeatureExtractor:
         Byte-identical result (it never leaves the JVM), far less Arrow I/O.
         """
         sigma_col = sigma_col if self.needs_sigma or sigma_col else None
+        arrow_ok = (use_arrow and horizon is None and self.bands is None)
         payload_cols = [c for c in probes.columns
                         if c not in (entity_col, ts_col)]
-        if payload_via_join and payload_cols:
+        # the uid-join detour only pays when payload columns would otherwise
+        # be materialized as pandas objects; the Arrow path streams them
+        # through as raw buffers, so it keeps the payload inline
+        if payload_via_join and payload_cols and not arrow_ok:
             probes_uid = probes.withColumn(
                 "_probe_uid", F.monotonically_increasing_id())
             slim = probes_uid.select(entity_col, ts_col, "_probe_uid")
