@@ -201,14 +201,14 @@ def main():
 
     # scaling evidence: identical flagship PIT job at local[8] vs local[32]
     scaling = {}
-    # min of 3: the sandbox host has heavy noisy-neighbor variance (same job
+    # min of 5: the sandbox host has heavy noisy-neighbor variance (same job
     # measured 9.8-27.6s); min approximates unloaded capability on both sides
     for cores in (8, 32):
         s = _session(cores)
         _warmup(s, obs_path, probes_path)
         runs = [
             _time_one(s, lambda sp: _pit_flagship(sp, obs_path, probes_path))
-            for _ in range(3)]
+            for _ in range(5)]
         dt = min(runs)
         scaling[f"local{cores}"] = {
             "sec": round(dt, 3),
