@@ -30,6 +30,20 @@ TRANSFORMS = {
 }
 
 
+# per-feature default transforms, exactly as declared in the reference's
+# evaluator! registrations (transform=True picks these); all other features
+# default to identity:
+DEFAULT_TRANSFORMS = {
+    "anderson_darling_normal": "lg",      # src/features.rs:3420-3424
+    "eta_e": "lg",                        # src/features.rs:3825
+    "kurtosis": "arcsinh",                # src/features.rs:3900
+    "maximum_slope": "clipped_lg",        # src/features.rs:4020
+    "percent_difference_magnitude_percentile": "clipped_lg",  # :4108-4113
+    "reduced_chi2": "ln1p",               # src/features.rs:4871
+    "skew": "arcsinh",                    # src/features.rs:4875
+}
+
+
 def apply_transform_column(name: str, col: Column) -> Column:
     return TRANSFORMS[name][0](col)
 

@@ -71,10 +71,16 @@ class FeatureExtractor:
     def __init__(self, features: Sequence[FeatureArg],
                  fill_value: Optional[float] = float("nan"),
                  bands: Optional[Sequence[str]] = None,
-                 transforms: Optional[dict] = None):
+                 transforms: Optional[object] = None):
         self.kernels = _resolve(features)
         self.fill_value = fill_value
         self.bands = list(bands) if bands else None
+        if transforms == "default":
+            # the reference's transform=True: per-class stock transforms
+            from ..functions.transforms import DEFAULT_TRANSFORMS
+            keys = {k.key for k in self.kernels}
+            transforms = {k: v for k, v in DEFAULT_TRANSFORMS.items()
+                          if k in keys}
         self.transforms = dict(transforms or {})
         if not self.kernels:
             raise ValueError("need at least one feature")
@@ -357,10 +363,19 @@ class FeatureExtractor:
     # ---- transforms --------------------------------------------------------
 
     def _apply_transforms(self, df: DataFrame) -> DataFrame:
-        for name, tname in self.transforms.items():
+        # a transforms key may be a kernel registry key (covers all of that
+        # kernel's output columns) or a literal output-column name
+        targets = {}
+        for key, tname in self.transforms.items():
+            hit = [k for k in self.kernels if k.key == key]
+            names = [n for k in hit for n in k.names] if hit else [key]
+            for n in names:
+                targets[n] = tname
+        for name, tname in targets.items():
             for col in df.columns:
                 if col == name or (self.bands and any(
                         col == f"{name}_{b}" for b in self.bands)):
                     df = df.withColumn(
-                        col, apply_transform_column(tname, F.col(col)))
+                        col, apply_transform_column(tname,
+                                                    F.col(f"`{col}`")))
         return df

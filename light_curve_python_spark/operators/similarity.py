@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["cosine_topk", "lsh_topk", "with_l2_norm"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "with_l2_norm"]
 
 
 def _dot(a, b):
@@ -54,6 +54,68 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     pick = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(pick))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "rank", "neighbor_id", "cosine"))
+
+
+def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, n_probe_cells: int = 3,
+             seed: int = 42, sample_fraction: float = 1.0) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
+    (pyspark.ml, trained on a corpus sample), corpus rows assigned to their
+    nearest cell, probe rows search only their ``n_probe_cells`` nearest
+    cells, exact cosine re-rank inside.
+
+    Scale shape: the quantizer is tiny (n_cells centroids broadcast in the
+    assignment join); the search join hits ~n_probe_cells/n_cells of the
+    corpus instead of all of it.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"))
+    if sample_fraction < 1.0:
+        train = train.sample(sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv").fit(train)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    def _cells(df, vec_alias, n_keep):
+        """attach the n_keep nearest cell ids per row (tiny centroid matrix
+        lives in the plan as a literal via pandas UDF)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(T.ArrayType(T.IntegerType()))
+        def nearest_cells(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack(vecs.to_numpy())
+            d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1)[:, :n_keep].astype(np.int32)
+            return pd.Series(list(order))
+
+        return df.withColumn("_cells", nearest_cells(vec_alias))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    c = _cells(c, "_cv", 1).withColumn("_cell", F.col("_cells")[0]) \
+        .drop("_cells")
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).cast("array<double>").alias("_pv"))
+    p = _cells(p, "_pv", n_probe_cells) \
+        .withColumn("_cell", F.explode("_cells")).drop("_cells")
+
+    cands = (c.join(F.broadcast(p), "_cell")
+             .filter(F.col("neighbor_id") != F.col("probe_id"))
+             .dropDuplicates(["probe_id", "neighbor_id"]))
+    cands = with_l2_norm(cands, "_cv", "_cn")
+    cands = with_l2_norm(cands, "_pv", "_pn")
+    scored = cands.withColumn(
+        "cosine", _dot(F.col("_cv"), F.col("_pv"))
+        / (F.col("_cn") * F.col("_pn")))
+    pick = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(pick))
             .filter(F.col("rank") <= k)
             .select("probe_id", "rank", "neighbor_id", "cosine"))
 

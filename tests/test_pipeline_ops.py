@@ -208,3 +208,42 @@ def test_validate_and_mag_to_flux(spark):
         pd.DataFrame({"doc_id": ["a"], "t": [1.0], "m": [20.0],
                       "sigma": [0.1]}))).toPandas()
     assert flux.m.iloc[0] == pytest.approx(10 ** (-0.4 * 20.0))
+
+
+def test_ivf_topk_recall(spark):
+    from light_curve_python_spark.operators.similarity import ivf_topk
+    rng = np.random.default_rng(7)
+    # clustered corpus so IVF cells are meaningful
+    centers = rng.normal(size=(4, 16)) * 5
+    vecs = np.vstack([c + rng.normal(size=(30, 16)) * 0.3 for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("vec_id").isin(0, 30, 60, 90))
+    got = ivf_topk(df, probes, k=3, n_cells=4, n_probe_cells=2) \
+        .toPandas()
+    exact = cosine_topk(df, probes, k=3).toPandas()
+    # recall@3 vs exact
+    hits = 0
+    for pid in exact.probe_id.unique():
+        want = set(exact[exact.probe_id == pid].neighbor_id)
+        have = set(got[got.probe_id == pid].neighbor_id)
+        hits += len(want & have)
+    assert hits >= 10  # >= 10/12 neighbors recovered
+
+
+def test_default_transforms(spark):
+    from light_curve_python_spark.datagen import generate_observations
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    obs = generate_observations(spark, 4, seed=2, n_obs_choices=(50,))
+    plain = FeatureExtractor(["kurtosis", "reduced_chi2", "mean"])
+    trans = FeatureExtractor(["kurtosis", "reduced_chi2", "mean"],
+                             transforms="default")
+    a = plain.extract(obs).toPandas().set_index("doc_id").sort_index()
+    b = trans.extract(obs).toPandas().set_index("doc_id").sort_index()
+    np.testing.assert_allclose(b["kurtosis"].to_numpy(),
+                               np.arcsinh(a["kurtosis"].to_numpy()),
+                               rtol=1e-12)
+    np.testing.assert_allclose(b["reduced_chi2"].to_numpy(),
+                               np.log1p(a["reduced_chi2"].to_numpy()),
+                               rtol=1e-12)
+    np.testing.assert_allclose(b["mean"].to_numpy(), a["mean"].to_numpy())
