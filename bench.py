@@ -80,9 +80,9 @@ def _ensure_synth(spark):
     if not os.path.exists(probes_path):
         generate_probes(spark, N_ENTITIES, PROBES_PER_ENTITY, seed=42) \
             .write.mode("overwrite").parquet(probes_path)
-    if not os.path.exists(f"{CACHE}/sf{SF}/wh/obs_b"):
+    if not os.path.exists(f"{CACHE}/sf{SF}/wh{N_BUCKETS}/obs_b"):
         spark.sql(f"CREATE DATABASE IF NOT EXISTS bench LOCATION "
-                  f"'{CACHE}/sf{SF}/wh'")
+                  f"'{CACHE}/sf{SF}/wh{N_BUCKETS}'")
         spark.read.parquet(obs_path).write.mode("overwrite") \
             .format("parquet").bucketBy(N_BUCKETS, "doc_id") \
             .sortBy("doc_id", "t").saveAsTable("bench.obs_b")
@@ -95,7 +95,7 @@ def _ensure_synth(spark):
 def _register_bucketed(spark):
     """Attach the pre-bucketed files as external tables (in-memory catalog
     => re-register per session)."""
-    wh = f"{CACHE}/sf{SF}/wh"
+    wh = f"{CACHE}/sf{SF}/wh{N_BUCKETS}"  # bucket count in path: stale-cache-proof
     spark.sql("CREATE DATABASE IF NOT EXISTS bench LOCATION "
               f"'{wh}'")
     spark.sql(f"""
