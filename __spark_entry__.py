@@ -609,8 +609,9 @@ f AS (SELECT user_id, t, m,
              THEN 1 ELSE 0 END AS nf
       FROM ev),
 s AS (SELECT user_id, t, m,
-        sum(nf) OVER (PARTITION BY user_id ORDER BY t
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_seq
       FROM f)
 SELECT user_id, session_seq,
   ROUND(min(t), 6) AS session_start,
@@ -658,8 +659,9 @@ def q_minhash_signatures(spark, sf_dir):
     words = _words(spark, sf_dir).select("doc_id", "w").distinct()
     wd = _word_dict(words)
     j = words.join(F.broadcast(wd), "w")
-    aggs = [F.min((F.lit(a) * F.col("wid") + F.lit(b)) % F.lit(PRIME))
-            .alias(f"mh{i}") for i, (a, b) in enumerate(MINHASH_AB)]
+    aggs = [F.min((F.lit(a).cast("long") * F.col("wid") + F.lit(b))
+                  % F.lit(PRIME)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)]
     return j.groupBy("doc_id").agg(*aggs)
 
 
@@ -808,7 +810,8 @@ def q_cosine_topk(spark, sf_dir):
                                                   F.col("vec_id").asc())
     return (pairs.withColumn("rk", F.row_number().over(pick))
             .filter(F.col("rk") <= TOPK_ANN)
-            .select("probe_id", "rk", F.col("vec_id").alias("neighbor_id"),
+            .select("probe_id", F.col("rk").cast("long").alias("rk"),
+                    F.col("vec_id").alias("neighbor_id"),
                     _r("cosine", 6).alias("cosine")))
 
 
@@ -960,7 +963,9 @@ SELECT vec_id, embedding[49:64] AS sequence FROM embeddings
 
 def q_lang_id(spark, sf_dir):
     from light_curve_python_spark.operators.text import language_id
-    return language_id(_docs(spark, sf_dir))
+    out = language_id(_docs(spark, sf_dir))
+    return out.withColumn("stopword_hits",
+                          F.col("stopword_hits").cast("long"))
 
 
 def _langid_sql():
