@@ -683,8 +683,11 @@ def q_simhash16(spark, sf_dir):
     bit_sum = None
     for k in range(SIMHASH_BITS):
         a, b = 31 * (k + 1) + 7, 17 * (k + 1) + 3
+        # cast to long BEFORE the multiply: the DuckDB twin computes in
+        # BIGINT, and a 32-bit a*wid overflows past ~4.2M distinct words
         vote = F.sum(F.when(
-            ((F.lit(a) * F.col("wid") + F.lit(b)) % F.lit(PRIME)) % 2 == 1,
+            ((F.lit(a).cast("long") * F.col("wid") + F.lit(b))
+             % F.lit(PRIME)) % 2 == 1,
             F.lit(1)).otherwise(F.lit(-1)))
         bit = F.when(vote > 0, F.lit(2 ** k)).otherwise(F.lit(0))
         bit_sum = bit if bit_sum is None else bit_sum + bit
@@ -711,6 +714,7 @@ GROUP BY dw.doc_id
 
 
 SHINGLE_K = 3
+MAX_SHINGLE_DF = 400   # > any df in the test corpora; the PATH is exercised
 
 
 def q_nearest_neighbor_jaccard(spark, sf_dir):
@@ -729,6 +733,14 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
                         " ", F.slice(F.col("ws"), i + 1, SHINGLE_K))))
                     .alias("sh"))
                 .distinct())
+    # df pruning (identical in the DuckDB twin, so parity holds whether or
+    # not the cap fires): shingles shared by > MAX_SHINGLE_DF docs are
+    # dropped from BOTH the index and the size counts — the k-squared
+    # hot-shingle escape hatch the production operator defaults on
+    dfreq = shingles.groupBy("sh").agg(F.count("*").alias("_df"))
+    shingles = (shingles
+                .join(dfreq.filter(F.col("_df") <= MAX_SHINGLE_DF), "sh")
+                .drop("_df"))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (shingles.alias("a")
              .join(shingles.alias("b"), "sh")
@@ -757,11 +769,14 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
 
 SQL_NN_JACCARD = f"""
 WITH {WORDS_SQL},
-sh AS (SELECT DISTINCT a.doc_id,
+sh0 AS (SELECT DISTINCT a.doc_id,
          a.w || ' ' || b.w || ' ' || c.w AS sh
        FROM words a
        JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+shf AS (SELECT sh FROM sh0 GROUP BY sh
+        HAVING count(*) <= {MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.* FROM sh0 JOIN shf USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -946,18 +961,69 @@ GROUP BY user_id, dt_bin, dm_bin
 """
 
 
+def _seq_exploded(out, extra=()):
+    """Canonical hashable form for sequence-reduction oracle rows: one
+    (id, pos, tok) row per element — the driver's canonicalizer sorts and
+    hashes scalar columns, so raw array columns are emitted exploded."""
+    cols = ["vec_id", *extra]
+    return (out.select(*cols, F.posexplode("sequence").alias("pos", "tok"))
+            .select(*cols, F.col("pos").cast("long").alias("pos"),
+                    _r(F.col("tok").cast("double"), 6).alias("tok")))
+
+
+def _reduced(spark, sf_dir, strategy):
+    from light_curve_python_spark.operators.reductions import reduce_sequence
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return reduce_sequence(emb, arr_col="embedding", seq_size=16,
+                           strategy=strategy, id_col="vec_id")
+
+
 def q_seq_reduce_end(spark, sf_dir):
     """Sequence reduction (strategy 'end', seq 16) over embedding arrays —
     the token-window operator on the driver's array-typed table."""
-    from light_curve_python_spark.operators.reductions import reduce_sequence
+    return _seq_exploded(_reduced(spark, sf_dir, "end"))
+
+
+def q_seq_reduce_middle(spark, sf_dir):
+    """Sequence reduction 'middle' (ref embed/reduction.py:327-341):
+    window centred on len//2.  All test embeddings are 64-dim, so the
+    oracle's slice is max(0, min(32-8, 64-16)) = 24 (0-based) -> [25:40]."""
+    return _seq_exploded(_reduced(spark, sf_dir, "middle"))
+
+
+def q_seq_windows(spark, sf_dir):
+    """non_overlapping_windows (ref embed/reduction.py:343-365):
+    ceil(64/16) = 4 windows per vector."""
+    from light_curve_python_spark.operators.reductions import (
+        non_overlapping_windows)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = reduce_sequence(emb, arr_col="embedding", seq_size=16,
-                          strategy="end", id_col="vec_id")
-    return out.select("vec_id", "sequence")
+    out = non_overlapping_windows(emb, arr_col="embedding", seq_size=16,
+                                  id_col="vec_id")
+    out = out.withColumn("window_idx", F.col("window_idx").cast("long"))
+    return _seq_exploded(out, extra=("window_idx",))
 
 
-SQL_SEQ_REDUCE_END = """
-SELECT vec_id, embedding[49:64] AS sequence FROM embeddings
+_SEQ_EXPLODE_SQL = """
+SELECT vec_id,
+  CAST(generate_subscripts(seq, 1) - 1 AS BIGINT) AS pos,
+  ROUND(CAST(unnest(seq) AS DOUBLE), 6) AS tok
+FROM ({inner})
+"""
+
+SQL_SEQ_REDUCE_END = _SEQ_EXPLODE_SQL.format(
+    inner="SELECT vec_id, embedding[49:64] AS seq FROM embeddings")
+
+SQL_SEQ_REDUCE_MIDDLE = _SEQ_EXPLODE_SQL.format(
+    inner="SELECT vec_id, embedding[25:40] AS seq FROM embeddings")
+
+SQL_SEQ_WINDOWS = """
+SELECT vec_id, window_idx,
+  CAST(generate_subscripts(seq, 1) - 1 AS BIGINT) AS pos,
+  ROUND(CAST(unnest(seq) AS DOUBLE), 6) AS tok
+FROM (SELECT vec_id, w AS window_idx,
+             embedding[w * 16 + 1 : w * 16 + 16] AS seq
+      FROM embeddings
+      CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS w))
 """
 
 
@@ -985,6 +1051,135 @@ pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY hits DESC, lang DESC) AS rk FROM scores)
 SELECT doc_id, lang AS predicted_lang, hits AS stopword_hits
 FROM pick WHERE rk = 1
+"""
+
+
+LSH_BAND_MULT = 1000003
+
+
+def q_lsh_candidates(spark, sf_dir):
+    """LSH band-bucket candidate pairs over the integer-exact dictionary
+    minhash (4 perms, 2 bands x 2 rows; band key = (mh_a*K + mh_b) % PRIME).
+    Docs agreeing on ALL rows of >= 1 band; (id_a < id_b), distinct —
+    the oracle twin of operators/dedup.py:lsh_candidates."""
+    sigs = q_minhash_signatures(spark, sf_dir)
+    banded = None
+    for b in range(2):
+        bk = ((F.col(f"mh{2 * b}").cast("long") * F.lit(LSH_BAND_MULT)
+               + F.col(f"mh{2 * b + 1}")) % F.lit(PRIME))
+        part = sigs.select(F.col("doc_id"), F.lit(b).alias("band"),
+                           bk.alias("bk"))
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bk")
+    c = banded.select(F.col("doc_id").alias("id_b"), "band", "bk")
+    return (a.join(c, ["band", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH {WORDS_SQL},
+dw AS (SELECT DISTINCT doc_id, w FROM words),
+sig AS (SELECT dw.doc_id,
+  {", ".join(f"min((CAST({a} AS BIGINT) * wid + {b}) % {PRIME}) AS mh{i}"
+             for i, (a, b) in enumerate(MINHASH_AB))}
+  FROM dw JOIN word_dict USING (w)
+  GROUP BY dw.doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, (mh0 * {LSH_BAND_MULT} + mh1) % {PRIME} AS bk
+  FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, (mh2 * {LSH_BAND_MULT} + mh3) % {PRIME} AS bk
+  FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.bk = c.bk AND a.doc_id < c.doc_id
+"""
+
+
+def q_count_dt(spark, sf_dir):
+    """count_dt — 1-D lg-dt pair histogram (ref src/dmdt.rs:88-154), sparse
+    per-entity form over the same grid as dmdt_map."""
+    from light_curve_python_spark.operators.dmdt import count_dt_sql
+    ev = _ev(spark, sf_dir)
+    return count_dt_sql(ev, entity="user_id", lgdt_min=DMDT["lgdt_min"],
+                        lgdt_max=DMDT["lgdt_max"], n_dt=DMDT["n_dt"])
+
+
+SQL_COUNT_DT = f"""
+WITH ev AS ({EV_SQL}),
+pairs AS (SELECT a.user_id, b.t - a.t AS dt
+          FROM ev a JOIN ev b
+            ON a.user_id = b.user_id AND b.t > a.t),
+binned AS (SELECT user_id,
+    floor((log10(dt) - ({DMDT['lgdt_min']}))
+          / {(DMDT['lgdt_max'] - DMDT['lgdt_min']) / DMDT['n_dt']})
+      AS dt_bin
+  FROM pairs)
+SELECT user_id, CAST(dt_bin AS BIGINT) AS dt_bin, count(*) AS pair_count
+FROM binned
+WHERE dt_bin >= 0 AND dt_bin < {DMDT['n_dt']}
+GROUP BY user_id, dt_bin
+"""
+
+
+# angular frequencies (rad/day over the t-in-days axis) for the fixed-grid
+# Lomb-Scargle oracle; arbitrary non-commensurate values
+PG_FREQS = (0.7, 1.3, 2.1, 3.7, 5.3, 7.9)
+
+
+def q_periodogram_grid(spark, sf_dir):
+    """Lomb-Scargle power on a FIXED explicit frequency grid — pins the
+    engine's periodogram kernel (functions/kernels.py:lomb_scargle_power,
+    freqs= path) to an external engine: the DuckDB twin evaluates the
+    closed-form per-frequency cos/sin sums (tau-shifted Lomb normal
+    equations) in plain SQL."""
+    import numpy as np
+    import pandas as pd
+    from light_curve_python_spark.functions.kernels import periodogram_power
+    ev = _ev(spark, sf_dir).select("user_id", "t", "m")
+    freqs = np.asarray(PG_FREQS, dtype=np.float64)
+    schema = T.StructType([ev.schema["user_id"],
+                           T.StructField("freq_idx", T.LongType()),
+                           T.StructField("power", T.DoubleType())])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["t"].to_numpy(np.float64)
+        order = np.argsort(t, kind="mergesort")
+        _, power = periodogram_power(
+            t[order], pdf["m"].to_numpy(np.float64)[order],
+            freqs=freqs, normalization="psd")
+        return pd.DataFrame({
+            "user_id": pdf["user_id"].iloc[0],
+            "freq_idx": np.arange(len(freqs), dtype=np.int64),
+            "power": power})
+
+    out = ev.groupBy("user_id").applyInPandas(fn, schema)
+    return out.withColumn("power", _r("power", 6))
+
+
+_PG_VALUES = ", ".join(f"({i}, {w!r})" for i, w in enumerate(PG_FREQS))
+
+SQL_PERIODOGRAM_GRID = f"""
+WITH ev AS ({EV_SQL}),
+g AS (SELECT user_id, avg(m) AS am, stddev_samp(m) AS sm, count(*) AS n
+      FROM ev GROUP BY user_id),
+y AS (SELECT e.user_id, e.t, (e.m - g.am) / g.sm AS y, g.n
+      FROM ev e JOIN g USING (user_id)),
+fr AS (SELECT * FROM (VALUES {_PG_VALUES}) AS v(freq_idx, w)),
+s AS (SELECT user_id, freq_idx, max(n) AS n,
+        sum(y * cos(w * t)) AS yc0, sum(y * sin(w * t)) AS ys0,
+        sum(cos(2 * w * t)) AS c2, sum(sin(2 * w * t)) AS s2
+      FROM y CROSS JOIN fr GROUP BY user_id, freq_idx),
+tau AS (SELECT *, 0.5 * atan2(s2, c2) AS wtau,
+          0.5 * (n + c2 * cos(atan2(s2, c2))
+                   + s2 * sin(atan2(s2, c2))) AS cc
+        FROM s)
+SELECT user_id, CAST(freq_idx AS BIGINT) AS freq_idx,
+  ROUND(0.5 * (pow(cos(wtau) * yc0 + sin(wtau) * ys0, 2) / cc
+               + pow(cos(wtau) * ys0 - sin(wtau) * yc0, 2) / (n - cc)),
+        6) AS power
+FROM tau
 """
 
 
@@ -1027,6 +1222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_colors_multiband": q_feat_colors,
         "dmdt_map": q_dmdt_map,
         "seq_reduce_end": q_seq_reduce_end,
+        "seq_reduce_middle": q_seq_reduce_middle,
+        "seq_windows": q_seq_windows,
+        "lsh_candidates": q_lsh_candidates,
+        "count_dt": q_count_dt,
+        "periodogram_grid": q_periodogram_grid,
         "lang_id": q_lang_id,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
@@ -1061,6 +1261,11 @@ def oracle_sql() -> dict[str, str]:
         "feat_colors_multiband": SQL_COLORS,
         "dmdt_map": SQL_DMDT,
         "seq_reduce_end": SQL_SEQ_REDUCE_END,
+        "seq_reduce_middle": SQL_SEQ_REDUCE_MIDDLE,
+        "seq_windows": SQL_SEQ_WINDOWS,
+        "lsh_candidates": SQL_LSH_CANDIDATES,
+        "count_dt": SQL_COUNT_DT,
+        "periodogram_grid": SQL_PERIODOGRAM_GRID,
         "lang_id": _langid_sql(),
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)

@@ -52,6 +52,8 @@ def asof_join(probes: DataFrame, obs: DataFrame, on: Sequence[str] | str,
     overlap = set(value_cols) & set(probes.columns)
     if overlap:
         raise ValueError(f"value_cols collide with probe columns: {overlap}")
+    if "__asof_t" in value_cols:
+        raise ValueError("'__asof_t' is reserved")
 
     tagged_obs = obs.select(
         *keys,
@@ -73,15 +75,21 @@ def asof_join(probes: DataFrame, obs: DataFrame, on: Sequence[str] | str,
          .orderBy(F.col("_t").asc(), F.col("_is_probe").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    filled = unioned
+    # fill from ONE struct of the whole observation row, then extract: the
+    # matched row's genuinely-NULL values are preserved (a per-column
+    # last(ignorenulls) would skip them and surface an older non-null value,
+    # diverging from pandas merge_asof / DuckDB ASOF JOIN semantics)
+    obs_row = F.when(
+        F.col("_is_probe") == 0,
+        F.struct(F.col("_matched_t").alias("__asof_t"),
+                 *[F.col(c).alias(c) for c in value_cols]))
+    filled = unioned.withColumn(
+        "_obs_row", F.last(obs_row, ignorenulls=True).over(w))
     for c in value_cols:
-        filled = filled.withColumn(
-            c, F.last(F.when(F.col("_is_probe") == 0, F.col(c)),
-                      ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "_matched_t",
-        F.last(F.when(F.col("_is_probe") == 0, F.col("_matched_t")),
-               ignorenulls=True).over(w))
+        filled = filled.withColumn(c, F.col("_obs_row").getField(c))
+    filled = (filled
+              .withColumn("_matched_t", F.col("_obs_row.__asof_t"))
+              .drop("_obs_row"))
 
     result = filled.filter(F.col("_is_probe") == 1)
     if tolerance is not None:

@@ -30,7 +30,10 @@ def exact_dedup(df: DataFrame, cols: Sequence[str],
                 keep_col: str = "doc_id") -> DataFrame:
     """Keep one representative row (min keep_col) per exact duplicate group
     over ``cols``; adds ``dup_count``."""
-    digest = F.md5(F.concat_ws("", *[F.col(c) for c in cols]))
+    # xxhash64 hashes each column with its length, so column boundaries
+    # are unambiguous regardless of content (a concat_ws digest collides
+    # when a column contains the separator byte)
+    digest = F.xxhash64(*[F.col(c) for c in cols])
     w = Window.partitionBy("_digest")
     return (df.withColumn("_digest", digest)
             .withColumn("dup_count", F.count("*").over(w))
@@ -107,24 +110,39 @@ def simhash64(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: Optional[int] = None) -> DataFrame:
-    """Exact Jaccard >= threshold pairs via inverted shingle index."""
+                        max_shingle_df: Optional[int] = 256) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via inverted shingle index.
+
+    max_shingle_df is ON by default (256): a shingle shared by d documents
+    contributes d*(d-1)/2 candidate pairs, so one stopword shingle in a real
+    corpus makes the join quadratic.  Dropping shingles with document
+    frequency > cap bounds the per-shingle fan-out at cap^2 while candidates
+    for genuinely similar pairs survive through their rarer shingles (the
+    standard inverted-index prefix/df-pruning argument).  Pass ``None`` to
+    opt out (exact candidate superset, only safe on small corpora)."""
     sh = shingle(df, text_col, k, id_col)
+    idx = sh
     if max_shingle_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-        sh = sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), "sh") \
+        idx = sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), "sh") \
             .drop("_df")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("_inter")))
-    return (inter
-            .join(sizes.select(F.col(id_col).alias("id_a"),
-                               F.col("_n").alias("_na")), "id_a")
-            .join(sizes.select(F.col(id_col).alias("id_b"),
-                               F.col("_n").alias("_nb")), "id_b")
+    # candidate generation over the PRUNED index (bounded fan-out); the
+    # jaccard itself is verified exactly on the FULL shingle sets, so
+    # pruning can only drop candidates whose every shared shingle is hot,
+    # never change a surviving pair's score
+    cand = (idx.select(F.col(id_col).alias("id_a"), "sh")
+            .join(idx.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_set"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (cand
+            .join(sets.select(F.col(id_col).alias("id_a"),
+                              F.col("_set").alias("_sa")), "id_a")
+            .join(sets.select(F.col(id_col).alias("id_b"),
+                              F.col("_set").alias("_sb")), "id_b")
+            .withColumn("_inter", inter)
             .withColumn("jaccard", F.col("_inter")
-                        / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+                        / (F.size("_sa") + F.size("_sb") - F.col("_inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))

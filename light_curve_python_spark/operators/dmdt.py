@@ -13,8 +13,10 @@ For every observation pair (i < j) of one entity: a 2-D histogram of
   the grouped-extraction path; ``gausses`` smears each pair over the dm bins
   with the Gaussian CDF (erf), per-pair normalized.
 
-Normalizations (dmdt.rs:68-86): 'dt' divides each lg-dt row by its pair
-count; 'max' divides by the global maximum.
+Normalizations (dmdt.rs:68-86): 'dt' divides each lg-dt row by that dt
+bin's TOTAL pair count — ``count_dt`` over all pairs, including pairs whose
+dm falls outside the dm grid (and, for gausses, mass outside the span);
+zero-count rows divide by 1.  'max' divides by the global maximum.
 """
 
 from __future__ import annotations
@@ -29,7 +31,8 @@ from pyspark.sql import functions as F
 from ..functions.special import erf
 
 __all__ = ["log_dt_edges", "linear_edges", "dmdt_points_kernel",
-           "dmdt_gausses_kernel", "normalize_dmdt", "dmdt_points_sql"]
+           "dmdt_gausses_kernel", "count_dt_kernel", "normalize_dmdt",
+           "dmdt_points_sql", "count_dt_sql"]
 
 
 def log_dt_edges(min_lgdt: float, max_lgdt: float, n: int) -> np.ndarray:
@@ -77,11 +80,31 @@ def dmdt_gausses_kernel(t: np.ndarray, m: np.ndarray, sigma: np.ndarray,
     return out
 
 
-def normalize_dmdt(hist: np.ndarray, norm: Sequence[str] = ()) -> np.ndarray:
+def count_dt_kernel(t: np.ndarray,
+                    dt_edges: np.ndarray) -> np.ndarray:
+    """1-D Δt pair histogram — the reference's ``count_dt``
+    (src/dmdt.rs:88-154: ``dt_points`` over ALL pairs, no dm filtering)."""
+    t = np.asarray(t, float)
+    i, j = np.triu_indices(len(t), k=1)
+    hist, _ = np.histogram(t[j] - t[i], bins=dt_edges)
+    return hist.astype(np.float64)
+
+
+def normalize_dmdt(hist: np.ndarray, norm: Sequence[str] = (),
+                   dt_counts: Optional[np.ndarray] = None) -> np.ndarray:
+    """Reference normalize (src/dmdt.rs:68-86): 'dt' divides each lg-dt row
+    by ``dt_counts`` — the count_dt histogram over ALL pairs (zeros -> 1),
+    NOT the in-dm-range row sum; 'max' divides by the global maximum."""
     out = hist.astype(np.float64)
     if "dt" in norm:
-        counts = out.sum(axis=1, keepdims=True)
-        np.divide(out, counts, out=out, where=counts > 0)
+        if dt_counts is None:
+            raise ValueError(
+                "'dt' normalization needs dt_counts = count_dt_kernel(t, "
+                "dt_edges): the reference divides by the total pair count "
+                "of each dt bin, including pairs outside the dm grid")
+        counts = np.where(np.asarray(dt_counts, float) == 0, 1.0,
+                          np.asarray(dt_counts, float))
+        out /= counts[:, None]
     if "max" in norm:
         mx = out.max()
         if mx > 0:
@@ -119,4 +142,23 @@ def dmdt_points_sql(obs: DataFrame, entity: str = "doc_id", t: str = "t",
             .filter((F.col("dt_bin") >= 0) & (F.col("dt_bin") < n_dt)
                     & (F.col("dm_bin") >= 0) & (F.col("dm_bin") < n_dm))
             .groupBy(F.col("_e").alias(entity), "dt_bin", "dm_bin")
+            .agg(F.count("*").alias("pair_count")))
+
+
+def count_dt_sql(obs: DataFrame, entity: str = "doc_id", t: str = "t",
+                 lgdt_min: float = -1.0, lgdt_max: float = 2.0,
+                 n_dt: int = 16) -> DataFrame:
+    """Sparse count_dt: (entity, dt_bin, pair_count) — 1-D variant of
+    dmdt_points_sql (ref src/dmdt.rs:88-154), same arithmetic bin indices so
+    DuckDB computes the identical thing."""
+    a = obs.select(F.col(entity).alias("_e"), F.col(t).alias("_t1"))
+    b = obs.select(F.col(entity).alias("_e"), F.col(t).alias("_t2"))
+    pairs = a.join(b, "_e").filter(F.col("_t2") > F.col("_t1"))
+    lg_step = (lgdt_max - lgdt_min) / n_dt
+    dt_bin = F.floor((F.log10(F.col("_t2") - F.col("_t1")) - F.lit(lgdt_min))
+                     / F.lit(lg_step))
+    return (pairs
+            .withColumn("dt_bin", dt_bin)
+            .filter((F.col("dt_bin") >= 0) & (F.col("dt_bin") < n_dt))
+            .groupBy(F.col("_e").alias(entity), "dt_bin")
             .agg(F.count("*").alias("pair_count")))

@@ -35,7 +35,7 @@ from typing import Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -196,16 +196,25 @@ class FeatureExtractor:
         # be materialized as pandas objects; the Arrow path streams them
         # through as raw buffers, so it keeps the payload inline
         if payload_via_join and payload_cols and not arrow_ok:
+            # DETERMINISTIC uid: row_number within the entity partition,
+            # ordered by ts.  monotonically_increasing_id depends on the
+            # physical partition layout, so a task retry / AQE replan could
+            # assign different ids in the slim branch vs the join-back
+            # branch.  row_number ties (same entity, same ts) are assigned
+            # arbitrarily, but such probes have IDENTICAL feature input, so
+            # any assignment joins a correct feature row to each payload.
+            # The window shuffles on the same entity key the cogroup needs.
+            w_uid = Window.partitionBy(entity_col).orderBy(ts_col)
             probes_uid = probes.withColumn(
-                "_probe_uid", F.monotonically_increasing_id())
-            slim = probes_uid.select(entity_col, ts_col, "_probe_uid")
+                "_probe_rn", F.row_number().over(w_uid))
+            slim = probes_uid.select(entity_col, ts_col, "_probe_rn")
             feats = self.extract_point_in_time(
                 obs, slim, entity_col, t_col, m_col, sigma_col, band_col,
                 ts_col, horizon, salt_partitions, hot_threshold,
                 payload_via_join=False, use_arrow=use_arrow)
             out = probes_uid.join(
-                feats.drop(entity_col, ts_col), "_probe_uid", "inner")
-            return out.drop("_probe_uid")
+                feats.drop(ts_col), [entity_col, "_probe_rn"], "inner")
+            return out.drop("_probe_rn")
         ocols = [entity_col, t_col, m_col]
         if sigma_col:
             ocols.append(sigma_col)

@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..functions.kernels import periodogram_power
-from .dmdt import dmdt_gausses_kernel, dmdt_points_kernel, normalize_dmdt
+from .dmdt import (count_dt_kernel, dmdt_gausses_kernel, dmdt_points_kernel,
+                   normalize_dmdt)
 
 __all__ = ["periodogram_freq_power", "multiband_periodogram", "dmdt_maps"]
 
@@ -162,7 +163,8 @@ def dmdt_maps(obs: DataFrame, entity_col: str = "doc_id", t_col: str = "t",
             hist = dmdt_gausses_kernel(t, m, s, dt_e, dm_e)
         else:
             hist = dmdt_points_kernel(t, m, dt_e, dm_e)
-        hist = normalize_dmdt(hist, norm)
+        dtc = count_dt_kernel(t, dt_e) if "dt" in norm else None
+        hist = normalize_dmdt(hist, norm, dt_counts=dtc)
         return pd.DataFrame({entity_col: [pdf[entity_col].iloc[0]],
                              "dmdt": [hist.ravel()],
                              "n_dt": [hist.shape[0]],

@@ -43,7 +43,13 @@ class CheckpointedRun:
         done = []
         with open(self.manifest_path) as f:
             for line in f:
-                e = json.loads(line)
+                # a crash mid-append can leave a truncated trailing line;
+                # treat it as "bucket not committed" (it re-runs) instead of
+                # poisoning every later resume with JSONDecodeError
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
                 if e.get("status") == "committed":
                     done.append(e["bucket"])
         return sorted(set(done))
@@ -56,8 +62,19 @@ class CheckpointedRun:
             "rows_per_sec": round(rows / seconds, 1) if seconds > 0 else None,
             "ts": time.time(), "spec": self.spec_json, "key": self.key_col,
         }
+        # if a previous append was torn (no trailing newline), start on a
+        # fresh line so the torn fragment poisons only ITS OWN entry
+        prefix = ""
+        if os.path.exists(self.manifest_path) \
+                and os.path.getsize(self.manifest_path) > 0:
+            with open(self.manifest_path, "rb") as rf:
+                rf.seek(-1, os.SEEK_END)
+                if rf.read(1) != b"\n":
+                    prefix = "\n"
         with open(self.manifest_path, "a") as f:
-            f.write(json.dumps(entry) + "\n")
+            f.write(prefix + json.dumps(entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     # ---- execution ---------------------------------------------------------
 

@@ -23,6 +23,8 @@ from light_curve_python_spark.functions.multiband import (
     color_spread_sql,
 )
 from light_curve_python_spark.operators.dmdt import (
+    count_dt_kernel,
+    count_dt_sql,
     dmdt_gausses_kernel,
     dmdt_points_kernel,
     dmdt_points_sql,
@@ -92,10 +94,24 @@ def test_dmdt_kernel_vs_brute():
                 brute[di, dj] += 1
     np.testing.assert_array_equal(got, brute)
     assert got.sum() <= n * (n - 1) / 2
-    # normalizations
-    nd = normalize_dmdt(got, ("dt",))
-    rows = got.sum(axis=1)
-    np.testing.assert_allclose(nd.sum(axis=1)[rows > 0], 1.0)
+    # normalizations — 'dt' divides by the TOTAL pair count of each dt bin
+    # (count_dt over all pairs, incl. out-of-dm-range), reference dmdt.rs
+    # normalize semantics; rows where some pairs fall outside the dm grid
+    # therefore sum to < 1
+    dtc = count_dt_kernel(t, dt_edges)
+    brute_dtc = np.zeros(8)
+    for i in range(n):
+        for j in range(i + 1, n):
+            di = np.searchsorted(dt_edges, t[j] - t[i], side="right") - 1
+            if 0 <= di < 8:
+                brute_dtc[di] += 1
+    np.testing.assert_array_equal(dtc, brute_dtc)
+    nd = normalize_dmdt(got, ("dt",), dt_counts=dtc)
+    expected = got / np.where(dtc == 0, 1.0, dtc)[:, None]
+    np.testing.assert_allclose(nd, expected)
+    assert np.all(nd.sum(axis=1) <= 1.0 + 1e-12)
+    with pytest.raises(ValueError):
+        normalize_dmdt(got, ("dt",))  # dt_counts is mandatory for 'dt'
     nm = normalize_dmdt(got, ("max",))
     assert nm.max() == 1.0
 
@@ -210,3 +226,18 @@ def test_periodogram_composition():
     assert d["period_folded_amplitude"] > 0.8
     assert d["period_folded_eta"] < 0.5
     assert d["spectrum_amplitude"] > 0
+
+
+def test_count_dt_sql_matches_kernel(spark, obs):
+    lgmin, lgmax, ndt = -1.0, 3.0, 10
+    got = count_dt_sql(obs, lgdt_min=lgmin, lgdt_max=lgmax,
+                       n_dt=ndt).toPandas()
+    pdf = obs.toPandas()
+    dt_edges = np.logspace(lgmin, lgmax, ndt + 1)
+    for doc_id, grp in pdf.sort_values("t").groupby("doc_id"):
+        want = count_dt_kernel(grp.t.to_numpy(), dt_edges)
+        sub = got[got.doc_id == doc_id]
+        dense = np.zeros(ndt)
+        for _, r in sub.iterrows():
+            dense[int(r.dt_bin)] = r.pair_count
+        np.testing.assert_array_equal(dense, want)

@@ -190,6 +190,18 @@ def test_checkpointed_run_resume(spark, tmp_path):
     assert result.count() == 48
     # manifest carries lineage + metrics
     assert len(run.completed_buckets()) == 4
+    # a crash mid-append (truncated trailing line) must not poison resume:
+    # the unparseable line is skipped and only that bucket re-runs
+    with open(run.manifest_path) as f:
+        lines = f.readlines()
+    with open(run.manifest_path, "w") as f:
+        f.writelines(lines[:-1])
+        f.write(lines[-1][: len(lines[-1]) // 2])  # torn write
+    assert len(run.completed_buckets()) == 3
+    done3 = run.run(probes, compute)
+    assert len(done3) == 1
+    assert len(run.completed_buckets()) == 4
+    assert run.read(spark).count() == 48
 
 
 def test_validate_and_mag_to_flux(spark):
@@ -247,3 +259,36 @@ def test_default_transforms(spark):
                                np.log1p(a["reduced_chi2"].to_numpy()),
                                rtol=1e-12)
     np.testing.assert_allclose(b["mean"].to_numpy(), a["mean"].to_numpy())
+
+
+def test_exact_dedup_column_boundaries(spark):
+    # ("ab","c") vs ("a","bc") must NOT be one duplicate group — regression
+    # for separator-based digests
+    rows = [(0, "ab", "c"), (1, "a", "bc"), (2, "ab", "c")]
+    df = spark.createDataFrame(rows, ["doc_id", "x", "y"])
+    out = exact_dedup(df, ["x", "y"]).toPandas().sort_values("doc_id")
+    assert set(out.doc_id) == {0, 1}
+    assert out[out.doc_id == 0].dup_count.iloc[0] == 2
+    assert out[out.doc_id == 1].dup_count.iloc[0] == 1
+
+
+def test_ngram_jaccard_hot_shingle_bounded(spark):
+    # 30 docs share ONE hot bigram but are otherwise disjoint; with
+    # max_shingle_df=2 the hot shingle generates no candidates, so only the
+    # planted near-dup pair (sharing rare shingles) survives — and its
+    # jaccard is still computed on the FULL shingle sets
+    hot = "common tail"
+    rows = [(i, f"w{i}a w{i}b w{i}c {hot}") for i in range(30)]
+    rows.append((100, "alpha beta gamma delta " + hot))
+    rows.append((101, "alpha beta gamma delta " + hot))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_jaccard_pairs(df, k=2, threshold=0.5,
+                              max_shingle_df=2).toPandas()
+    got = {(a, b): j for a, b, j in out.to_numpy()}
+    assert set(got) == {(100, 101)}
+    assert got[(100, 101)] == pytest.approx(1.0)  # full-set jaccard, exact
+    # candidate generation itself is bounded: pairs sharing ONLY the hot
+    # shingle never enter the join
+    all_pairs = ngram_jaccard_pairs(df, k=2, threshold=0.0,
+                                    max_shingle_df=2).toPandas()
+    assert len(all_pairs) == 1

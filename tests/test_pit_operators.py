@@ -195,3 +195,21 @@ def test_bins_matches_reference_formula(spark):
         np.testing.assert_allclose(g["t"].to_numpy(), wt, rtol=1e-12)
         np.testing.assert_allclose(g["m"].to_numpy(), wm, rtol=1e-9)
         np.testing.assert_allclose(g["sigma"].to_numpy(), ws, rtol=1e-9)
+
+
+def test_asof_join_preserves_matched_null(spark):
+    # a probe matched to an observation whose value is genuinely NULL must
+    # get NULL, not an older non-null value (pandas merge_asof / DuckDB
+    # ASOF JOIN semantics)
+    obs = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 2.0, None), ("a", 4.0, 7.0)],
+        "k string, t double, v double")
+    probes = spark.createDataFrame(
+        [("a", 2.5), ("a", 5.0), ("a", 0.5)], "k string, ts double")
+    out = asof_join(probes, obs, on="k", left_ts="ts", right_ts="t",
+                    value_cols=["v"]).toPandas().set_index("ts")
+    assert pd.isna(out.loc[2.5, "v_asof"])       # matched row t=2.0, v NULL
+    assert out.loc[2.5, "t_asof"] == 2.0         # ...but the match itself real
+    assert out.loc[5.0, "v_asof"] == 7.0
+    assert pd.isna(out.loc[0.5, "v_asof"])       # no match at all
+    assert pd.isna(out.loc[0.5, "t_asof"])
