@@ -130,22 +130,31 @@ def _headline_queries(spark, obs_path, probes_path):
     def pit_full(s):
         return _pit_flagship(s, obs_path, probes_path)
 
-    def periodogram_short_curves(s):
-        # periodogram cost is O(n_obs^2 / resolution); bench the dense-grid
-        # path on the short-curve population (long curves use fast=FFT in a
-        # later round, mirroring the reference's fast=True)
-        from pyspark.sql import functions as FF
-        obs = s.read.parquet(obs_path).filter("doc_id < 'doc00001000'")
-        counts = obs.groupBy("doc_id").count().filter("count <= 128")
-        obs = obs.join(FF.broadcast(counts.select("doc_id")), "doc_id")
+    def periodogram_all_curves(s):
+        # Press-Rybicki FFT path (the kernel default, mirroring the
+        # reference's fast=True): ALL curves including the 1000-obs and
+        # 20x-hot ones — O(n log n) per curve, no population filtering
+        obs = s.read.parquet(obs_path)
         ex = FeatureExtractor([("periodogram", {"peaks": 1})])
         return ex.extract(obs)
 
+    def feat_quantiles_kernel(s):
+        # Hazen quantile family via the fused kernel path (single pass per
+        # entity, no row_number sort-join); the row_number SQL twin stays
+        # oracle-only in __spark_entry__
+        ex = FeatureExtractor([
+            "inter_percentile_range",
+            "percent_difference_magnitude_percentile",
+            "magnitude_percentage_ratio",
+            "median_buffer_range_percentage"])
+        return ex.extract(E._ev(s, SF_DIR), entity_col="user_id",
+                          sigma_col=None)
+
     return {
         "pit_extract_full_battery": pit_full,
-        "periodogram_short_curves": periodogram_short_curves,
+        "periodogram_all_curves": periodogram_all_curves,
         "sql_feat_dispersion": lambda s: E.q_feat_dispersion(s, SF_DIR),
-        "sql_feat_quantiles": lambda s: E.q_feat_quantiles(s, SF_DIR),
+        "feat_quantiles_kernel": feat_quantiles_kernel,
         "asof_join_events": lambda s: E.q_asof_join(s, SF_DIR),
         "sessionize_events": lambda s: E.q_sessionize(s, SF_DIR),
         "rolling_range_events": lambda s: E.q_rolling_1h(s, SF_DIR),

@@ -723,19 +723,75 @@ def _apply_normalization(power: np.ndarray, n: int, normalization: str) -> np.nd
     raise ValueError(f"bad normalization: {normalization}")
 
 
+def _validate_fast_freqs(freqs: np.ndarray) -> float:
+    """The reference's freqs+fast contract (src/features.rs:4359-4385):
+    freqs[0] == 0, len == 2**k + 1, linear within 10*f32-eps relative.
+    Returns the grid step."""
+    if len(freqs) < 2:
+        raise ValueError("freqs must have at least two values")
+    if freqs[0] != 0.0:
+        raise ValueError(
+            "When freqs=[...] and fast=True, freqs[0] must equal 0")
+    if (len(freqs) - 1) & (len(freqs) - 2) != 0:
+        raise ValueError(
+            "When freqs=[...] and fast=True, len(freqs) must be a power of "
+            "two plus one, e.g. 2**k + 1")
+    step = float(freqs[1] - freqs[0])
+    rel = np.abs(np.diff(freqs) / step - 1.0)
+    if np.any(rel >= 10.0 * np.finfo(np.float32).eps):
+        raise ValueError(
+            "When freqs=[...] and fast=True, freqs must be a linear grid, "
+            "like np.linspace(0, max_freq, 2**k + 1)")
+    return step
+
+
 def periodogram_power(t, m, *, resolution=10.0, max_freq_factor=1.0,
-                      nyquist="average", normalization="psd", freqs=None):
+                      nyquist="average", normalization="psd", freqs=None,
+                      fast=False, macc=6, grid_factor=16):
     """(freqs, power) — the engine analogue of Periodogram.freq_power()
     (src/features.rs:4632-4706).  m is standardized with mean/std(ddof=1)
-    before the Lomb sums, per the reference's pinned scipy equivalence."""
+    before the Lomb sums, per the reference's pinned scipy equivalence.
+
+    fast=True selects the Press-Rybicki FFT evaluation (the reference's
+    default algorithm, src/features.rs:4298-4345): same estimator to ~1e-4
+    relative, O(n log n) instead of O(n_obs * n_freq).  With an explicit
+    ``freqs`` grid, fast requires the reference's zero-based linear
+    2**k + 1 grid; power at the zero frequency is defined as 0 (the
+    precentered series has no DC power)."""
     m = np.asarray(m, dtype=np.float64)
     std = np.std(m, ddof=1)
     if std == 0:
         raise ValueError("zero variance")
     y = (m - np.mean(m)) / std
+    t = np.asarray(t, dtype=np.float64)
     if freqs is None:
         freqs = periodogram_freq_grid(t, resolution, max_freq_factor, nyquist)
-    power = lomb_scargle_power(np.asarray(t, dtype=np.float64), y, freqs)
+        if fast:
+            from .fastperiodogram import lomb_scargle_power_fast
+            # the auto grid is step * arange(1, n+1) — exactly the fast
+            # evaluator's native layout
+            power = lomb_scargle_power_fast(t, y, freqs[0], len(freqs),
+                                            macc, grid_factor)
+            return freqs, _apply_normalization(power, len(m), normalization)
+        power = lomb_scargle_power(t, y, freqs)
+        return freqs, _apply_normalization(power, len(m), normalization)
+    freqs = np.asarray(freqs, dtype=np.float64)
+    if fast:
+        step = _validate_fast_freqs(freqs)
+        from .fastperiodogram import lomb_scargle_power_fast
+        power = np.empty(len(freqs))
+        power[0] = 0.0
+        power[1:] = lomb_scargle_power_fast(t, y, step, len(freqs) - 1,
+                                            macc, grid_factor)
+        return freqs, _apply_normalization(power, len(m), normalization)
+    if len(freqs) and freqs[0] == 0.0:
+        # direct evaluation degenerates at w=0 (0/0); define DC power = 0
+        # so explicit zero-based grids agree between fast and direct
+        power = np.empty(len(freqs))
+        power[0] = 0.0
+        power[1:] = lomb_scargle_power(t, y, freqs[1:])
+        return freqs, _apply_normalization(power, len(m), normalization)
+    power = lomb_scargle_power(t, y, freqs)
     return freqs, _apply_normalization(power, len(m), normalization)
 
 
@@ -744,6 +800,8 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
                          max_freq_factor: float = 1.0,
                          nyquist: object = "average",
                          normalization: str = "psd",
+                         fast: bool = True,
+                         freqs: Optional[Sequence[float]] = None,
                          features: Sequence[str] = (),
                          phase_features: Sequence[str] = ()) -> Kernel:
     """Peak periods + S/N, names period_{i} / period_s_to_n_{i}.
@@ -751,7 +809,11 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
     Peak = strict local maximum of the power grid, strongest first;
     S/N = (P_peak − mean(P)) / std(P, ddof=1).  Constructor parameter surface
     mirrors src/features.rs:4550-4563 (defaults: peaks=1, resolution=10,
-    max_freq_factor=1, nyquist='average', normalization='psd').
+    max_freq_factor=1, nyquist='average', normalization='psd', fast=True —
+    the reference's default algorithm is the Press-Rybicki FFT,
+    src/features.rs:4557).  ``freqs`` pins an explicit grid
+    (src/features.rs:4348-4400: with fast it must be a zero-based linear
+    2**k + 1 grid).
 
     Composition (src/features.rs:4418-4468):
     - ``features``: kernel keys applied to the (freq, power) spectrum as a
@@ -769,10 +831,15 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
     names += tuple(
         f"period_folded_{n}" for k in fold_kernels for n in k.names)
 
+    if freqs is not None and fast:
+        _validate_fast_freqs(np.asarray(freqs, dtype=np.float64))
+
     def fn(t, m, s):
-        freqs, power = periodogram_power(
+        fgrid, power = periodogram_power(
             t, m, resolution=resolution, max_freq_factor=max_freq_factor,
-            nyquist=nyquist, normalization=normalization)
+            nyquist=nyquist, normalization=normalization, fast=fast,
+            freqs=None if freqs is None
+            else np.asarray(freqs, dtype=np.float64))
         out = np.zeros(2 * peaks)
         if len(power) >= 3:
             interior = (power[1:-1] > power[:-2]) & (power[1:-1] > power[2:])
@@ -785,14 +852,14 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
         p_mean = np.mean(power)
         p_std = np.std(power, ddof=1)
         for rank, i in enumerate(order):
-            out[2 * rank] = 2.0 * math.pi / freqs[i]
+            out[2 * rank] = 2.0 * math.pi / fgrid[i]
             out[2 * rank + 1] = (power[i] - p_mean) / p_std
         parts = [out]
         if spec_kernels:
-            parts.append(evaluate_many(spec_kernels, freqs, power, None,
+            parts.append(evaluate_many(spec_kernels, fgrid, power, None,
                                        fill_value=np.nan))
         if fold_kernels:
-            best_period = 2.0 * math.pi / freqs[order[0]]
+            best_period = 2.0 * math.pi / fgrid[order[0]]
             t0 = t[int(np.argmin(m))]
             phase = np.mod((t - t0) / best_period, 1.0)
             ordr = np.argsort(phase, kind="mergesort")
@@ -806,6 +873,8 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
                   params={"peaks": peaks, "resolution": resolution,
                           "max_freq_factor": max_freq_factor,
                           "nyquist": nyquist, "normalization": normalization,
+                          "fast": fast,
+                          "freqs": None if freqs is None else tuple(freqs),
                           "features": tuple(features),
                           "phase_features": tuple(phase_features)})
 

@@ -27,9 +27,11 @@ def periodogram_freq_power(obs: DataFrame, entity_col: str = "doc_id",
                            resolution: float = 10.0,
                            max_freq_factor: float = 1.0,
                            nyquist="average",
-                           normalization: str = "psd") -> DataFrame:
+                           normalization: str = "psd",
+                           fast: bool = True) -> DataFrame:
     """(entity, freqs array, power array) — raw Lomb-Scargle grid per
-    entity."""
+    entity.  fast=True (the reference default) uses the Press-Rybicki FFT
+    evaluator."""
     schema = T.StructType([
         obs.schema[entity_col],
         T.StructField("freqs", T.ArrayType(T.DoubleType()), False),
@@ -43,7 +45,7 @@ def periodogram_freq_power(obs: DataFrame, entity_col: str = "doc_id",
         m = pdf[m_col].to_numpy(np.float64)[order]
         freqs, power = periodogram_power(
             t, m, resolution=resolution, max_freq_factor=max_freq_factor,
-            nyquist=nyquist, normalization=normalization)
+            nyquist=nyquist, normalization=normalization, fast=fast)
         return pd.DataFrame({entity_col: [pdf[entity_col].iloc[0]],
                              "freqs": [freqs], "power": [power]})
 

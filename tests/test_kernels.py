@@ -370,3 +370,73 @@ def test_ctx_fused_equals_plain(curve):
         b = np.asarray(k.ctx_func(ctx), dtype=np.float64)
         np.testing.assert_allclose(a, b, rtol=1e-12, equal_nan=True,
                                    err_msg=key)
+
+
+def test_fast_periodogram_matches_direct():
+    """Press-Rybicki FFT path vs the direct evaluator on the reference's
+    grid classes (auto nyquist grids at several resolutions and an explicit
+    zero-based 2**k + 1 grid): <= 1e-4 relative everywhere."""
+    from light_curve_python_spark.functions.fastperiodogram import (
+        lomb_scargle_power_fast)
+    rng = np.random.default_rng(11)
+    for n, res, mff in [(60, 10.0, 1.0), (500, 10.0, 2.0), (211, 7.0, 1.0)]:
+        t = np.sort(rng.uniform(0, 150.0, n))
+        m = np.sin(0.83 * t) + 0.3 * rng.normal(size=n)
+        f_direct, p_direct = periodogram_power(t, m, resolution=res,
+                                               max_freq_factor=mff)
+        f_fast, p_fast = periodogram_power(t, m, resolution=res,
+                                           max_freq_factor=mff, fast=True)
+        np.testing.assert_array_equal(f_direct, f_fast)
+        np.testing.assert_allclose(p_fast, p_direct, rtol=1e-4,
+                                   atol=1e-7 * p_direct.max())
+        # the raw evaluator agrees with lomb_scargle_power on centered y
+        y = (m - m.mean()) / m.std(ddof=1)
+        np.testing.assert_allclose(
+            lomb_scargle_power_fast(t, y, f_direct[0], len(f_direct)),
+            lomb_scargle_power(t, y, f_direct), rtol=1e-4,
+            atol=1e-7 * p_direct.max())
+
+
+def test_fast_periodogram_explicit_grid_contract():
+    """freqs= + fast follows the reference's validation
+    (src/features.rs:4348-4400): zero-based, 2**k + 1, linear."""
+    rng = np.random.default_rng(12)
+    t = np.sort(rng.uniform(0, 100.0, 80))
+    m = np.sin(1.7 * t) + 0.2 * rng.normal(size=80)
+    good = np.linspace(0.0, 8.0, 2 ** 7 + 1)
+    f, p_fast = periodogram_power(t, m, freqs=good, fast=True)
+    assert p_fast[0] == 0.0
+    _, p_direct = periodogram_power(t, m, freqs=good)   # zero handled too
+    assert p_direct[0] == 0.0
+    np.testing.assert_allclose(p_fast[1:], p_direct[1:], rtol=1e-4,
+                               atol=1e-7 * p_direct.max())
+    with pytest.raises(ValueError, match="freqs\\[0\\] must equal 0"):
+        periodogram_power(t, m, freqs=np.linspace(0.1, 8, 129), fast=True)
+    with pytest.raises(ValueError, match="power of"):
+        periodogram_power(t, m, freqs=np.linspace(0.0, 8, 100), fast=True)
+    with pytest.raises(ValueError, match="linear"):
+        periodogram_power(t, m, freqs=np.r_[0.0, np.logspace(-1, 1, 128)],
+                          fast=True)
+    # the kernel factory validates eagerly and exposes freqs=
+    with pytest.raises(ValueError):
+        make_kernel("periodogram", freqs=(0.1, 0.2, 0.3), fast=True)
+    k = make_kernel("periodogram", freqs=tuple(good), fast=True)
+    out = evaluate_kernel(k, t, m, None, fill_value=None)
+    assert out[0] == pytest.approx(2 * np.pi / 1.7, rel=0.05)
+
+
+def test_periodogram_kernel_fast_default_matches_exact():
+    """The kernel factory defaults to fast=True (the reference default);
+    peak period/S-to-N agree with the exact evaluator to float accuracy of
+    the approximation."""
+    rng = np.random.default_rng(13)
+    t = np.sort(rng.uniform(0, 200, 400))
+    m = np.sin(2 * np.pi / 7.0 * t) + 0.05 * rng.normal(size=400)
+    k_fast = make_kernel("periodogram", peaks=2, max_freq_factor=2.0)
+    k_exact = make_kernel("periodogram", peaks=2, max_freq_factor=2.0,
+                          fast=False)
+    assert k_fast.params["fast"] is True
+    out_f = evaluate_kernel(k_fast, t, m, None, fill_value=None)
+    out_e = evaluate_kernel(k_exact, t, m, None, fill_value=None)
+    np.testing.assert_allclose(out_f, out_e, rtol=1e-3)
+    assert out_f[0] == pytest.approx(7.0, rel=0.01)

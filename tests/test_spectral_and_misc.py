@@ -33,13 +33,20 @@ def obs(spark):
 
 
 def test_periodogram_freq_power(spark, obs):
+    # operator default is fast=True (reference default algorithm): parity
+    # with the direct evaluator is approximate (<= 1e-4 rel); with
+    # fast=False it is exact
     got = periodogram_freq_power(obs).toPandas().set_index("doc_id")
+    got_exact = periodogram_freq_power(obs, fast=False).toPandas() \
+        .set_index("doc_id")
     pdf = obs.toPandas()
     for doc_id, row in got.iterrows():
         g = pdf[pdf.doc_id == doc_id].sort_values("t")
         freqs, power = periodogram_power(g.t.to_numpy(), g.m.to_numpy())
         np.testing.assert_allclose(np.asarray(row.freqs), freqs, rtol=1e-12)
-        np.testing.assert_allclose(np.asarray(row.power), power, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(row.power), power, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got_exact.loc[doc_id].power), power, rtol=1e-9)
 
 
 def test_dmdt_maps_dense(spark, obs):
