@@ -204,13 +204,12 @@ class PrefixBattery:
         "minimum_time_interval", "eta", "eta_e", "maximum_slope",
         "lafler_kinman_string_length", "linear_fit", "linear_trend",
         "reduced_chi2", "excess_variance", "chi2_pvar", "peak_to_peak_var",
-        "beyond_n_std",
     }
     SORTED_KEYS = {
         "median", "median_absolute_deviation", "percent_amplitude",
         "inter_percentile_range", "percent_difference_magnitude_percentile",
         "magnitude_percentage_ratio", "median_buffer_range_percentage",
-        "otsu_split", "anderson_darling_normal",
+        "otsu_split", "anderson_darling_normal", "beyond_n_std",
     }
     LOOP_KEYS = {"stetson_k", "roms", "cusum"}
     SUPPORTED = PREFIX_KEYS | SORTED_KEYS | LOOP_KEYS
@@ -272,7 +271,26 @@ class PrefixBattery:
 
     def _sorted_pass(self, ctx: _Ctx) -> Dict[str, np.ndarray]:
         """Maintain a merged sorted prefix; per probe compute the order
-        statistics every sorted-family kernel needs."""
+        statistics every sorted-family kernel needs.
+
+        Asymptotics (probes processed in ascending window length):
+        - the sorted prefix lives in two PREALLOCATED ping-pong buffers;
+          each new chunk is merged with one searchsorted + two masked
+          assignments — O(L + c) memmove-speed, never np.insert's
+          allocate-and-fancy-index;
+        - quantiles/median are O(1) indexing, counts-in-range
+          (median_buffer_range_percentage, beyond_n_std) are O(log k)
+          searchsorteds;
+        - stetson/roms use the prefix-sum identity
+          sum |m - c| / sigma = c*W_below - MW_below + (MW - MW_below)
+          - c*(W - W_below) over w = 1/sigma and mw = m/sigma carried
+          through the merge IN SORTED ORDER — one cumsum pair per probe,
+          no per-element abs/divide;
+        - otsu / anderson-darling / median_absolute_deviation / cusum stay
+          O(k) per probe: each is a full-window functional with no prefix
+          structure across probes (the reference computes them per curve
+          at the same cost).
+        """
         order = np.argsort(ctx.ends, kind="mergesort")
         P = len(ctx.ends)
         need_keys = {k.key for k in self.kernels}
@@ -288,6 +306,8 @@ class PrefixBattery:
                 qd = p.get("quantile_denominator", 0.05)
                 qs |= {qn, 1 - qn, qd, 1 - qd}
         qs = sorted(qs)
+        nstds = sorted({k.params.get("nstd", 1.0) for k in self.kernels
+                        if k.key == "beyond_n_std"})
         res = {
             "median": np.full(P, np.nan),
             "medabsdev": np.full(P, np.nan),
@@ -299,6 +319,7 @@ class PrefixBattery:
             "cusum_ptp": np.full(P, np.nan),
         }
         res["quantiles"] = {q: np.full(P, np.nan) for q in qs}
+        res["beyond_count"] = {v: np.full(P, np.nan) for v in nstds}
         mbrp_q = next((k.params.get("quantile", 0.1) for k in self.kernels
                        if k.key == "median_buffer_range_percentage"), None)
         need_median = bool(need_keys & {
@@ -312,27 +333,64 @@ class PrefixBattery:
         need_cusum = "cusum" in need_keys
         need_medabsdev = "median_absolute_deviation" in need_keys
 
-        s = np.empty(0)
-        prev = 0
+        n = ctx.n
         m = ctx.m
         sig = ctx.sigma
         cumsum_m = ctx.get("cumsum_m") if need_cusum else None
         cw = ctx.get("cw") if need_stetson else None
         cwm = ctx.get("cwm") if need_stetson else None
+        if nstds:
+            means = ctx.mean
+            stds = ctx.std1
+        need_wsums = (need_stetson or need_roms) and sig is not None
+        # ping-pong sorted buffers; w/mw ride along in the SAME sorted order
+        buf_a = np.empty(n)
+        buf_b = np.empty(n)
+        if need_wsums:
+            w_time = 1.0 / sig
+            # anchored to m[0] (like every central prefix sum): c*W - MW
+            # with raw m would cancel catastrophically when mean >> spread
+            mw_time = ctx.ms / sig
+            m0 = m[0] if n else 0.0
+            wbuf_a = np.empty(n)
+            wbuf_b = np.empty(n)
+            mwbuf_a = np.empty(n)
+            mwbuf_b = np.empty(n)
 
+        prev = 0
         for pi in order:
             k = int(ctx.ends[pi])
             if k > prev:
-                chunk = np.sort(m[prev:k])
-                if len(s) == 0:
-                    s = chunk
+                c = k - prev
+                if need_wsums:
+                    chunk_order = np.argsort(m[prev:k], kind="mergesort")
+                    chunk = m[prev:k][chunk_order]
                 else:
-                    pos = np.searchsorted(s, chunk)
-                    s = np.insert(s, pos, chunk)
+                    chunk = np.sort(m[prev:k], kind="mergesort")
+                if prev == 0:
+                    buf_a[:c] = chunk
+                    if need_wsums:
+                        wbuf_a[:c] = w_time[prev:k][chunk_order]
+                        mwbuf_a[:c] = mw_time[prev:k][chunk_order]
+                else:
+                    pos = np.searchsorted(buf_a[:prev], chunk)
+                    tgt = pos + np.arange(c)
+                    mask = np.ones(k, dtype=bool)
+                    mask[tgt] = False
+                    buf_b[tgt] = chunk
+                    buf_b[:k][mask] = buf_a[:prev]
+                    buf_a, buf_b = buf_b, buf_a
+                    if need_wsums:
+                        wbuf_b[tgt] = w_time[prev:k][chunk_order]
+                        wbuf_b[:k][mask] = wbuf_a[:prev]
+                        mwbuf_b[tgt] = mw_time[prev:k][chunk_order]
+                        mwbuf_b[:k][mask] = mwbuf_a[:prev]
+                        wbuf_a, wbuf_b = wbuf_b, wbuf_a
+                        mwbuf_a, mwbuf_b = mwbuf_b, mwbuf_a
                 prev = k
             if k == 0:
                 continue
-            win_s = s  # sorted prefix of length k
+            win_s = buf_a[:k]  # sorted prefix of length k
             if need_median:
                 mid = k // 2
                 med = (win_s[mid] if k % 2
@@ -355,6 +413,14 @@ class PrefixBattery:
                 hi_i = np.searchsorted(win_s, med + width, side="left")
                 # strict |med - m| < width
                 res["mbrp_count"][pi] = max(hi_i - lo_i, 0)
+            for v in nstds:
+                if k < 2:
+                    continue
+                mean = means[pi]
+                std = stds[pi]
+                lo_i = np.searchsorted(win_s, mean - v * std, side="left")
+                hi_i = np.searchsorted(win_s, mean + v * std, side="right")
+                res["beyond_count"][v][pi] = lo_i + (k - hi_i)
             if need_otsu and k >= 2:
                 amounts = np.arange(1, k)
                 cum0 = np.cumsum(win_s)[:-1]
@@ -384,16 +450,32 @@ class PrefixBattery:
                     a2 = -k - np.sum((2 * i - 1.0) / k
                                      * (logcdf + logsf[::-1]))
                     res["ad"][pi] = a2 * (1 + 4.0 / k - 25.0 / k ** 2)
-            if need_stetson and sig is not None and k >= 2:
-                mu = cwm[k] / cw[k]
-                res["stetson_num"][pi] = float(
-                    np.sum(np.abs((m[:k] - mu) / sig[:k])))
-            if need_roms and sig is not None and k >= 2:
-                res["roms_sum"][pi] = float(
-                    np.sum(np.abs(m[:k] - res["median"][pi]) / sig[:k]))
+            if need_wsums and k >= 2:
+                cumw = np.cumsum(wbuf_a[:k])
+                cummw = np.cumsum(mwbuf_a[:k])
+                W = cumw[-1]
+                MW = cummw[-1]
+                if need_stetson:
+                    mu = cwm[k] / cw[k]
+                    mu_s = mu - m0
+                    j = np.searchsorted(win_s, mu)
+                    Wb = cumw[j - 1] if j > 0 else 0.0
+                    MWb = cummw[j - 1] if j > 0 else 0.0
+                    res["stetson_num"][pi] = (mu_s * Wb - MWb
+                                              + (MW - MWb)
+                                              - mu_s * (W - Wb))
+                if need_roms:
+                    med = res["median"][pi]
+                    med_s = med - m0
+                    j = np.searchsorted(win_s, med)
+                    Wb = cumw[j - 1] if j > 0 else 0.0
+                    MWb = cummw[j - 1] if j > 0 else 0.0
+                    res["roms_sum"][pi] = (med_s * Wb - MWb
+                                           + (MW - MWb)
+                                           - med_s * (W - Wb))
             if need_cusum and k >= 2:
-                c = cumsum_m[:k] - np.arange(1, k + 1) * (cumsum_m[k - 1] / k)
-                res["cusum_ptp"][pi] = float(c.max() - c.min())
+                c_ = cumsum_m[:k] - np.arange(1, k + 1) * (cumsum_m[k - 1] / k)
+                res["cusum_ptp"][pi] = float(c_.max() - c_.min())
         return res
 
     # ---- per-kernel dispatch -------------------------------------------------
@@ -452,10 +534,8 @@ class PrefixBattery:
             g1 = (s3 / k) / (s2 / k) ** 1.5
             return g1 * np.sqrt(k * (k - 1)) / (k - 2)
         if key == "beyond_n_std":
-            # count outside [mean ± n·std] on the sorted prefix would need
-            # the sorted pass; use prefix-free vector form per window via
-            # sorted stats if available, else fall back
-            return self._eval_fallback(kern, ctx)
+            nstd = kern.params.get("nstd", 1.0)
+            return ss["beyond_count"][nstd] / k
         if key == "excess_variance":
             return (ctx.var1 - ctx.S("cs2") / k) / ctx.mean ** 2
         if key == "reduced_chi2":

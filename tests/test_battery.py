@@ -106,3 +106,46 @@ def test_battery_speed(curve):
         evaluate_many(kernels, t[:e], m[:e], s[:e])
     loop = time.perf_counter() - t0
     assert batched < loop / 2, (batched, loop)
+
+
+def test_battery_hot_entity_near_linear_probe_scaling():
+    """20k-obs hot entity: sorted-pass cost must scale ~linearly in probe
+    count (the round-1 np.insert implementation degraded quadratically).
+    Uses a battery of prefix + sorted + loop features but WITHOUT the
+    intrinsically-O(k)-per-probe functionals (otsu/AD/medabsdev/cusum),
+    whose total cost is necessarily ~sum of window lengths."""
+    import time
+    rng = np.random.default_rng(7)
+    n = 20000
+    t = np.sort(rng.uniform(0, 1000, n))
+    m = rng.uniform(15, 21, n)
+    s = rng.uniform(0.01, 0.2, n)
+    kernels = [make_kernel(k) for k in (
+        "median", "inter_percentile_range", "median_buffer_range_percentage",
+        "beyond_n_std", "stetson_k", "roms", "percent_amplitude")]
+    battery = PrefixBattery(kernels, fill_value=np.nan)
+
+    def run(P):
+        ends = np.sort(rng.integers(2, n + 1, P))
+        t0 = time.perf_counter()
+        battery.evaluate_prefixes(t, m, s, ends)
+        return time.perf_counter() - t0
+
+    run(8)  # warm
+    t_small = min(run(32) for _ in range(3))
+    t_big = min(run(512) for _ in range(3))
+    # 16x probes: allow up to ~3x the linear budget for per-probe cumsums
+    # and noise; the quadratic implementation blows far past this
+    assert t_big / t_small < 16 * 3, (t_small, t_big)
+
+
+def test_battery_correct_at_large_scale_spotcheck():
+    """Parity spot-check at the hot-entity scale (the ping-pong merge path
+    with big buffers)."""
+    rng = np.random.default_rng(8)
+    n = 20000
+    t = np.sort(rng.uniform(0, 1000, n))
+    m = rng.uniform(15, 21, n)
+    s = rng.uniform(0.01, 0.2, n)
+    ends = np.array([2, 17, 4096, 19999, 20000])
+    _check([make_kernel(k) for k in BATTERY], t, m, s, ends)
