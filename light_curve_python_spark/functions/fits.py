@@ -31,23 +31,134 @@ import numpy as np
 from .kernels import Kernel, _register
 
 __all__ = ["levenberg_marquardt", "bazin_model", "villar_model",
-           "linexp_model"]
+           "linexp_model", "LnPrior"]
+
+
+class LnPrior:
+    """1-D parameter prior for *Fit kernels — the reference's ``ln_prior``
+    submodule (/root/reference/light-curve/src/ln_prior.rs:57-149): none /
+    normal / log_normal / log_uniform / uniform / mix.  The fit maximizes
+    ln-likelihood + sum(ln_prior_i(param_i)), i.e. minimizes
+    chi2 - 2*sum(ln_prior); outside a (log_)uniform support the prior is
+    -inf and the step is rejected.
+
+    Instances are plain picklable data; ``spec`` round-trips through JSON
+    (["normal", {"mu": .., "sigma": ..}]) for plans/spec.py serialization.
+    """
+
+    def __init__(self, kind: str, **kw):
+        self.kind = kind
+        self.kw = kw
+
+    # ---- constructors (mirroring ln_prior.rs function names) -------------
+    @classmethod
+    def none(cls):
+        return cls("none")
+
+    @classmethod
+    def normal(cls, mu: float, sigma: float):
+        return cls("normal", mu=float(mu), sigma=float(sigma))
+
+    @classmethod
+    def log_normal(cls, mu: float, sigma: float):
+        return cls("log_normal", mu=float(mu), sigma=float(sigma))
+
+    @classmethod
+    def uniform(cls, left: float, right: float):
+        return cls("uniform", left=float(left), right=float(right))
+
+    @classmethod
+    def log_uniform(cls, left: float, right: float):
+        return cls("log_uniform", left=float(left), right=float(right))
+
+    @classmethod
+    def mix(cls, weights_priors):
+        return cls("mix", mix=[(float(w), pr) for w, pr in weights_priors])
+
+    # ---- (de)serialization -------------------------------------------------
+    @property
+    def spec(self):
+        if self.kind == "mix":
+            return ["mix", {"mix": [[w, pr.spec]
+                                    for w, pr in self.kw["mix"]]}]
+        return [self.kind, dict(self.kw)]
+
+    @classmethod
+    def from_spec(cls, spec):
+        if isinstance(spec, LnPrior):
+            return spec
+        kind, kw = spec
+        if kind == "mix":
+            return cls.mix([(w, cls.from_spec(s)) for w, s in kw["mix"]])
+        return cls(kind, **kw)
+
+    # ---- evaluation ----------------------------------------------------------
+    def __call__(self, x: float) -> float:
+        k = self.kind
+        if k == "none":
+            return 0.0
+        kw = self.kw
+        if k == "normal":
+            s = kw["sigma"]
+            return (-0.5 * ((x - kw["mu"]) / s) ** 2
+                    - math.log(s * math.sqrt(2.0 * math.pi)))
+        if k == "log_normal":
+            if x <= 0:
+                return -math.inf
+            s = kw["sigma"]
+            lx = math.log(x)
+            return (-0.5 * ((lx - kw["mu"]) / s) ** 2 - lx
+                    - math.log(s * math.sqrt(2.0 * math.pi)))
+        if k == "uniform":
+            left, right = kw["left"], kw["right"]
+            if left <= x <= right:
+                return -math.log(right - left)
+            return -math.inf
+        if k == "log_uniform":
+            left, right = kw["left"], kw["right"]
+            if left <= x <= right:
+                return -math.log(x) - math.log(math.log(right / left))
+            return -math.inf
+        if k == "mix":
+            pairs = kw["mix"]
+            tot = sum(w for w, _ in pairs)
+            acc = 0.0
+            for w, pr in pairs:
+                lp = pr(x)
+                if lp > -math.inf:
+                    acc += (w / tot) * math.exp(lp)
+            return math.log(acc) if acc > 0 else -math.inf
+        raise ValueError(f"unknown prior kind: {k}")
 
 
 def levenberg_marquardt(model: Callable, t: np.ndarray, m: np.ndarray,
                         w: np.ndarray, p0: np.ndarray,
                         lower: np.ndarray, upper: np.ndarray,
                         max_iter: int = 100, ftol: float = 1e-10,
-                        ptol: float = 1e-10) -> Tuple[np.ndarray, float]:
-    """Minimize sum(w * (model(t, p) - m)^2); returns (params, chi2)."""
+                        ptol: float = 1e-10,
+                        ln_priors: Optional[Sequence["LnPrior"]] = None
+                        ) -> Tuple[np.ndarray, float]:
+    """Minimize sum(w * (model(t, p) - m)^2) - 2*sum(ln_prior_i(p_i)) (MAP
+    when priors given, plain weighted least squares otherwise); returns
+    (params, DATA chi2 — the penalty steers the optimum but is not
+    reported)."""
     p = np.clip(np.asarray(p0, dtype=np.float64), lower, upper)
     sw = np.sqrt(w)
 
     def residuals(params):
         return sw * (model(t, *params) - m)
 
+    def penalty(params) -> float:
+        if ln_priors is None:
+            return 0.0
+        return -2.0 * sum(pr(x) for pr, x in zip(ln_priors, params))
+
     r = residuals(p)
-    cost = float(r @ r)
+    chi2 = float(r @ r)
+    cost = chi2 + penalty(p)
+    if not np.isfinite(cost):
+        # p0 outside a uniform prior's support: nothing sane to do
+        cost = math.inf
     lam = 1e-3
     n_par = len(p)
     eye = np.eye(n_par)
@@ -63,6 +174,22 @@ def levenberg_marquardt(model: Callable, t: np.ndarray, m: np.ndarray,
             J[:, k] = (residuals(pk) - r) / step
         g = J.T @ r
         H = J.T @ J
+        if ln_priors is not None:
+            # the penalty is separable: add its per-param gradient /
+            # curvature (central differences) to the normal equations; the
+            # LM gradient scale is grad(C)/2
+            for k, pr in enumerate(ln_priors):
+                if pr.kind == "none":
+                    continue
+                step = 1e-6 * max(abs(p[k]), 1.0)
+                f0 = -2.0 * pr(p[k])
+                fp = -2.0 * pr(p[k] + step)
+                fm = -2.0 * pr(p[k] - step)
+                if math.isfinite(fp) and math.isfinite(fm) \
+                        and math.isfinite(f0):
+                    g[k] += 0.5 * (fp - fm) / (2.0 * step)
+                    H[k, k] += max(0.5 * (fp - 2.0 * f0 + fm) / step ** 2,
+                                   0.0)
         improved = False
         for _try in range(12):
             try:
@@ -73,21 +200,22 @@ def levenberg_marquardt(model: Callable, t: np.ndarray, m: np.ndarray,
                 continue
             p_new = np.clip(p + delta, lower, upper)
             r_new = residuals(p_new)
-            cost_new = float(r_new @ r_new)
+            chi2_new = float(r_new @ r_new)
+            cost_new = chi2_new + penalty(p_new)
             if np.isfinite(cost_new) and cost_new < cost:
-                rel_f = (cost - cost_new) / max(cost, 1e-300)
+                rel_f = (cost - cost_new) / max(abs(cost), 1e-300)
                 rel_p = np.max(np.abs(p_new - p)
                                / np.maximum(np.abs(p), 1e-12))
-                p, r, cost = p_new, r_new, cost_new
+                p, r, chi2, cost = p_new, r_new, chi2_new, cost_new
                 lam = max(lam / 10, 1e-12)
                 improved = True
                 if rel_f < ftol or rel_p < ptol:
-                    return p, cost
+                    return p, chi2
                 break
             lam *= 10
         if not improved:
             break
-    return p, cost
+    return p, chi2
 
 
 # --- models ------------------------------------------------------------------
@@ -121,10 +249,18 @@ def _fit_kernel(key: str, model: Callable, param_names: Sequence[str],
     @_register(key)
     def factory(init: Optional[Sequence[float]] = None,
                 bounds: Optional[Sequence[Tuple[float, float]]] = None,
-                max_iter: int = 100) -> Kernel:
+                max_iter: int = 100,
+                ln_prior: Optional[Sequence] = None) -> Kernel:
         names = tuple(f"{key}_{p}" for p in param_names) \
             + (f"{key}_reduced_chi2",)
         n_par = len(param_names)
+        priors = None
+        if ln_prior is not None:
+            priors = [LnPrior.from_spec(s) for s in ln_prior]
+            if len(priors) != n_par:
+                raise ValueError(
+                    f"{key}: ln_prior needs {n_par} entries "
+                    f"(one per parameter), got {len(priors)}")
 
         def fn(t, m, s):
             if len(t) <= n_par + 1:
@@ -138,13 +274,16 @@ def _fit_kernel(key: str, model: Callable, param_names: Sequence[str],
             else:
                 lower, upper = bounds_fn(t, m)
             p, chi2 = levenberg_marquardt(model, t, m, w, p0, lower, upper,
-                                          max_iter=max_iter)
+                                          max_iter=max_iter,
+                                          ln_priors=priors)
             return np.concatenate([p, [chi2 / (len(t) - n_par)]])
 
         return Kernel(key=key, names=names, func=fn, min_obs=n_par + 2,
                       needs_sigma=True,
                       params={"init": init, "bounds": bounds,
-                              "max_iter": max_iter})
+                              "max_iter": max_iter,
+                              "ln_prior": None if priors is None
+                              else [pr.spec for pr in priors]})
     return factory
 
 

@@ -325,6 +325,132 @@ class FeatureExtractor:
             out = out.drop("_salt")
         return out
 
+    # ---- nested-input extraction --------------------------------------------
+
+    def extract_nested(self, df: DataFrame, curve_col: str = "curve",
+                       t_field="t", m_field="m", sigma_field="sigma",
+                       band_field=None) -> DataFrame:
+        """Whole-entity extraction over a NESTED curve column
+        ``array<struct<...>>`` — the reference's Arrow ``List<Struct>``
+        input contract (/root/reference/light-curve/src/arrow_input.rs:
+        166-284): struct fields are resolved by name or zero-based index,
+        t/m/sigma must share one float dtype, band may be string or
+        integer, and ANY null (list, struct, or field level) is rejected
+        (features.rs:1795-1811).
+
+        Because each row already carries its complete curve, this is a
+        ZERO-SHUFFLE map (mapInArrow): no groupBy, no exchange — the plan
+        a nested Iceberg/parquet layout buys at scale.  All non-curve
+        columns pass through untouched.  Output equals
+        :meth:`extract` on the exploded long format (asserted in
+        tests/test_extract.py).
+        """
+        import pyarrow as pa
+
+        elem = df.schema[curve_col].dataType
+        if not isinstance(elem, T.ArrayType) \
+                or not isinstance(elem.elementType, T.StructType):
+            raise TypeError(
+                f"{curve_col} must be array<struct<...>>, got "
+                f"{elem.simpleString()}")
+        struct_fields = elem.elementType.fields
+
+        def resolve(ref, role):
+            if ref is None:
+                return None
+            if isinstance(ref, int):
+                if not 0 <= ref < len(struct_fields):
+                    raise ValueError(f"{role}: field index {ref} out of "
+                                     f"range")
+                return ref
+            for i, f in enumerate(struct_fields):
+                if f.name == ref:
+                    return i
+            raise ValueError(f"{role}: no struct field named {ref!r}")
+
+        sigma_field = sigma_field if self.needs_sigma or sigma_field \
+            else None
+        t_idx = resolve(t_field, "t")
+        m_idx = resolve(m_field, "m")
+        s_idx = resolve(sigma_field, "sigma")
+        b_idx = resolve(band_field if self.bands is not None else None,
+                        "band")
+        numeric = [(t_idx, "t"), (m_idx, "m")] \
+            + ([(s_idx, "sigma")] if s_idx is not None else [])
+        seen = {}
+        for idx, role in numeric:
+            if idx in seen:
+                raise ValueError(f"arrow_fields: {seen[idx]} and {role} "
+                                 f"must refer to different fields")
+            seen[idx] = role
+        dtypes = {struct_fields[i].dataType.simpleString()
+                  for i, _ in numeric}
+        if not dtypes <= {"float", "double"} or len(dtypes) != 1:
+            raise TypeError("Struct fields for t/m/sigma must share one "
+                            f"float dtype, got {sorted(dtypes)}")
+        if b_idx is not None:
+            bt = struct_fields[b_idx].dataType.simpleString()
+            if bt not in ("string", "tinyint", "smallint", "int", "bigint"):
+                raise TypeError(f"band field must be string or integer, "
+                                f"got {bt}")
+
+        pass_names = [c for c in df.columns if c != curve_col]
+        schema = T.StructType(
+            [df.schema[c] for c in pass_names] + self._feature_fields())
+        names = self.names
+        this = self
+        bands = self.bands
+
+        def fn(batches):
+            for batch in batches:
+                col = batch.column(batch.schema.names.index(curve_col))
+                if col.null_count:
+                    raise ValueError("null curves are not allowed")
+                values = col.values          # struct child (unsliced)
+                if values.null_count:
+                    raise ValueError("null curve elements are not allowed")
+                offs = col.offsets.to_numpy()  # slice-aware, len(batch)+1
+                childs = {}
+                for idx, _role in numeric:
+                    ch = values.field(idx)
+                    if ch.null_count:
+                        raise ValueError(
+                            "null t/m/sigma values are not allowed")
+                    childs[idx] = ch.to_numpy(zero_copy_only=False) \
+                        .astype(np.float64, copy=False)
+                if b_idx is not None:
+                    bch = values.field(b_idx)
+                    if bch.null_count:
+                        raise ValueError("null band values are not allowed")
+                    band_all = bch.to_numpy(zero_copy_only=False)
+                nrows = len(col)
+                feats = np.empty((nrows, len(names)), dtype=np.float64)
+                for i in range(nrows):
+                    sl = slice(offs[i], offs[i + 1])
+                    t = childs[t_idx][sl]
+                    order = np.argsort(t, kind="mergesort")
+                    t = t[order]
+                    m = childs[m_idx][sl][order]
+                    s = (childs[s_idx][sl][order]
+                         if s_idx is not None else None)
+                    if bands is None:
+                        feats[i] = this._eval_window(t, m, s)
+                    else:
+                        codes = pd.Categorical(band_all[sl][order],
+                                               categories=bands).codes
+                        feats[i] = this._eval_window_banded(t, m, s, codes)
+                out = pa.schema(
+                    [batch.schema.field(n) for n in pass_names]
+                    + [pa.field(n, pa.float64()) for n in names])
+                arrays = [batch.column(batch.schema.names.index(n))
+                          for n in pass_names] \
+                    + [pa.array(feats[:, j]) for j in range(len(names))]
+                yield pa.RecordBatch.from_arrays(arrays, schema=out)
+
+        cols = pass_names + [curve_col]
+        out = df.select(*cols).mapInArrow(fn, schema)
+        return self._apply_transforms(out)
+
     # ---- Bins meta-feature composition -------------------------------------
 
     def extract_binned(self, obs: DataFrame, window: float,

@@ -173,3 +173,72 @@ def test_sequences_deterministic(spark):
     for x, y in zip(a.tokens, b.tokens):
         assert np.asarray(x, dtype=np.int32).tobytes() == \
             np.asarray(y, dtype=np.int32).tobytes()
+
+
+def test_extract_nested_matches_long(spark, data):
+    """Nested array<struct<t,m,sigma>> input (the reference's Arrow
+    List<Struct> contract, src/arrow_input.rs:166-284) must equal the
+    long-format extraction exactly, with zero shuffles in the plan."""
+    from pyspark.sql import functions as F
+    obs, _, _, _ = data
+    nested = (obs.groupBy("doc_id")
+              .agg(F.collect_list(F.struct("t", "m", "sigma"))
+                   .alias("curve")))
+    ex = FeatureExtractor(FEATURES)
+    got = ex.extract_nested(nested).toPandas().set_index("doc_id") \
+        .sort_index()
+    want = ex.extract(obs).toPandas().set_index("doc_id").sort_index()
+    np.testing.assert_allclose(got[ex.names].to_numpy(float),
+                               want[ex.names].to_numpy(float),
+                               rtol=RTOL, equal_nan=True)
+    # zero-shuffle: once the nested table exists, the extraction plan has
+    # no Exchange
+    plan = ex.extract_nested(
+        nested.write.mode("overwrite")
+        .parquet("/tmp/lcps_nested_test.parquet") or
+        spark.read.parquet("/tmp/lcps_nested_test.parquet")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # field mapping by zero-based index works identically
+    got_idx = ex.extract_nested(nested, t_field=0, m_field=1,
+                                sigma_field=2).toPandas() \
+        .set_index("doc_id").sort_index()
+    np.testing.assert_allclose(got_idx[ex.names].to_numpy(float),
+                               want[ex.names].to_numpy(float),
+                               rtol=RTOL, equal_nan=True)
+
+
+def test_extract_nested_banded_and_validation(spark):
+    from pyspark.sql import functions as F
+    obs = generate_observations(spark, 6, seed=9, n_obs_choices=(60,))
+    nested = (obs.groupBy("doc_id")
+              .agg(F.collect_list(F.struct("t", "m", "sigma", "band"))
+                   .alias("curve")))
+    ex = FeatureExtractor(["mean", "amplitude"], bands=["g", "r"])
+    got = ex.extract_nested(nested, band_field="band").toPandas() \
+        .set_index("doc_id").sort_index()
+    want = ex.extract(obs).toPandas().set_index("doc_id").sort_index()
+    np.testing.assert_allclose(got[ex.names].to_numpy(float),
+                               want[ex.names].to_numpy(float),
+                               rtol=RTOL, equal_nan=True)
+    # validation mirrors the reference's errors
+    ex1 = FeatureExtractor(["mean"])
+    with pytest.raises(Exception, match="array<struct"):
+        ex1.extract_nested(obs, curve_col="t")
+    with pytest.raises(Exception, match="no struct field named"):
+        ex1.extract_nested(nested, t_field="nope")
+    with pytest.raises(Exception, match="different fields"):
+        ex1.extract_nested(nested, t_field="t", m_field="t",
+                           sigma_field=None)
+    # null rejection (features.rs:1795-1811): a null m inside a curve fails
+    bad = nested.withColumn(
+        "curve", F.transform(
+            "curve", lambda s: F.struct(
+                s.getField("t").alias("t"),
+                F.when(s.getField("t") > 1e18, s.getField("m"))
+                .alias("m"),
+                s.getField("sigma").alias("sigma"),
+                s.getField("band").alias("band"))))
+    ex2 = FeatureExtractor(["mean"])
+    with pytest.raises(Exception, match="null"):
+        ex2.extract_nested(bad).collect()

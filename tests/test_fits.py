@@ -108,3 +108,66 @@ def test_spark_extract_with_fit(spark):
     assert len(got) == 4
     np.testing.assert_allclose(got["bazin_fit_t0"].to_numpy(),
                                [50.0] * 4, rtol=0.05)
+
+
+def test_ln_prior_closed_forms():
+    from light_curve_python_spark.functions.fits import LnPrior
+    import math
+    assert LnPrior.none()(3.7) == 0.0
+    pr = LnPrior.normal(2.0, 0.5)
+    want = -0.5 * ((3.0 - 2.0) / 0.5) ** 2 - math.log(
+        0.5 * math.sqrt(2 * math.pi))
+    assert pr(3.0) == pytest.approx(want, rel=1e-12)
+    pr = LnPrior.log_normal(0.0, 1.0)
+    x = 2.0
+    want = (-0.5 * math.log(x) ** 2 - math.log(x)
+            - math.log(math.sqrt(2 * math.pi)))
+    assert pr(x) == pytest.approx(want, rel=1e-12)
+    assert pr(-1.0) == -math.inf
+    pr = LnPrior.uniform(1.0, 3.0)
+    assert pr(2.0) == pytest.approx(-math.log(2.0))
+    assert pr(0.5) == -math.inf
+    pr = LnPrior.log_uniform(1.0, math.e)
+    assert pr(1.5) == pytest.approx(-math.log(1.5), rel=1e-12)
+    assert pr(0.5) == -math.inf
+    # mix: ln(sum w_norm * exp(lp))
+    mixed = LnPrior.mix([(1.0, LnPrior.uniform(0.0, 1.0)),
+                         (3.0, LnPrior.uniform(0.0, 2.0))])
+    want = math.log(0.25 * 1.0 + 0.75 * 0.5)
+    assert mixed(0.5) == pytest.approx(want, rel=1e-12)
+    assert mixed(1.5) == pytest.approx(math.log(0.75 * 0.5), rel=1e-12)
+    # spec JSON round-trip
+    rt = LnPrior.from_spec(mixed.spec)
+    assert rt(0.5) == pytest.approx(mixed(0.5), rel=1e-12)
+
+
+def test_ln_prior_pulls_degenerate_fit():
+    """Reference ln_prior behavior: on weakly-identified data a tight
+    normal prior on a parameter pulls the MAP fit to the prior's mean,
+    while the unpriored fit stays at the likelihood optimum."""
+    from light_curve_python_spark.functions.fits import LnPrior
+    rng = np.random.default_rng(5)
+    t = np.sort(rng.uniform(0, 100, 200))
+    true = dict(a=5.0, b=1.0, t0=40.0, rise=4.0, fall=12.0)
+    m = FT.bazin_model(t, **true) + 0.01 * rng.normal(size=len(t))
+    s = np.full(len(t), 0.01)
+    init = [4.0, 1.5, 38.0, 5.0, 10.0]  # same basin for both fits
+    free = make_kernel("bazin_fit", init=init)
+    out_free = evaluate_kernel(free, t, m, s, fill_value=None)
+    assert out_free[1] == pytest.approx(true["b"], abs=0.05)  # b recovered
+    # very tight prior on b at 2.0 (data says 1.0): MAP must move to ~2.0
+    priors = [LnPrior.none(), LnPrior.normal(2.0, 1e-4), LnPrior.none(),
+              LnPrior.none(), LnPrior.none()]
+    pinned = make_kernel("bazin_fit", init=init,
+                         ln_prior=[p.spec for p in priors])
+    out_pinned = evaluate_kernel(pinned, t, m, s, fill_value=None)
+    assert out_pinned[1] == pytest.approx(2.0, abs=0.05)
+    # reported chi2 is the DATA chi2: worse under the conflicting prior
+    assert out_pinned[-1] > out_free[-1]
+    # uniform prior acts as a hard support: t0 confined to [50, 60]
+    u = [LnPrior.none(), LnPrior.none(), LnPrior.uniform(50.0, 60.0),
+         LnPrior.none(), LnPrior.none()]
+    boxed = make_kernel("bazin_fit", init=[4.0, 1.0, 55.0, 4.0, 12.0],
+                        ln_prior=[p.spec for p in u])
+    out_boxed = evaluate_kernel(boxed, t, m, s, fill_value=None)
+    assert 50.0 <= out_boxed[2] <= 60.0
