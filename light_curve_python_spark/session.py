@@ -50,6 +50,9 @@ def get_spark(master: Optional[str] = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # default-true, pinned: forked Python workers persist across tasks,
+        # so kernel import/jit costs are paid once per core, not per task
+        .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
