@@ -736,10 +736,14 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
     # df pruning (identical in the DuckDB twin, so parity holds whether or
     # not the cap fires): shingles shared by > MAX_SHINGLE_DF docs are
     # dropped from BOTH the index and the size counts — the k-squared
-    # hot-shingle escape hatch the production operator defaults on
-    dfreq = shingles.groupBy("sh").agg(F.count("*").alias("_df"))
+    # hot-shingle escape hatch the production operator defaults on.
+    # WINDOW-count (one shuffle on sh) rather than groupBy+join: the
+    # downstream self-join shuffles on sh anyway, so the window's
+    # partitioning is reused and the prune costs no extra exchange
     shingles = (shingles
-                .join(dfreq.filter(F.col("_df") <= MAX_SHINGLE_DF), "sh")
+                .withColumn("_df",
+                            F.count("*").over(Window.partitionBy("sh")))
+                .filter(F.col("_df") <= MAX_SHINGLE_DF)
                 .drop("_df"))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (shingles.alias("a")

@@ -1,0 +1,254 @@
+"""RainbowFit — multiband blackbody SN fit, default configuration.
+
+Re-derivation of the published Rainbow model (Russeil et al. 2024, A&A 683
+A251) in the reference's DEFAULT configuration (features/rainbow/generic.py:
+bolometric='bazin', temperature='sigmoid', spectral='planck',
+with_baseline=True):
+
+    flux(t, band) = [ pi * B_nu(c/lambda_band, T(t)) * nu_avg
+                      / (sigma_SB * T(t)^4) ] * bol(t) + baseline_band
+
+- bol(t): Bazin bump normalized to unit peak amplitude
+  (bolometric.py:157-170),
+- T(t): sigmoid between Tmax = T(1+T_amplitude) and Tmin = T(1-T_amplitude)
+  with color timescale t_color (temperature.py:122-135); T_amplitude
+  carries the reference's weak N(0, 0.25) prior (temperature.py:160-165),
+- B_nu: Planck in frequency, (2h/c^2) nu^3 e^-x / (1 - e^-x)
+  (spectral.py:77-83), normalized by the "bolometric" norm
+  sigma_SB T^4 / (pi nu_avg) with nu_avg = c / mean(band wavelengths)
+  (_base.py:116,250).
+
+Fit protocol mirrors _base.py:440-571: t standardized by (mean, std); flux
+by (per-band mean when with_baseline, global std); sigma by the flux scale;
+initial guesses / box limits from bolometric.py:173-203 +
+temperature.py:138-158; parameters un-scaled by their declared scalings
+(time / timescale / flux / None; baselines by flux scale + per-band shift).
+Output = fitted parameters + r_chisq = 0.5 * chi2 / (n - n_params) (the
+Minuit FCN convention of _base.py:731), prior penalty excluded from the
+reported chi2.
+
+DOCUMENTED DIVERGENCES from the reference: the optimizer is the engine's
+pure-numpy Levenberg-Marquardt with deterministic multi-start (iminuit is
+unavailable in this environment); the pluggable term registry (sigmoid /
+linexp / doublexp bolometrics, delayed-sigmoid temperature, blanketed
+Planck), upper-limit Tobit likelihood, and Minuit error propagation are not
+implemented.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .fits import LnPrior, levenberg_marquardt
+from .kernels import Kernel, _register
+
+__all__ = ["rainbow_model", "rainbow_fit_arrays", "RAINBOW_PARAM_NAMES"]
+
+SIGMA_SB = 5.6703744191844314e-05   # erg / (cm^2 s K^4)
+SPEED_OF_LIGHT = 2.99792458e10      # cm / s
+PLANCK_H = 6.62607004e-27           # erg s
+BOLTZMAN_K = 1.380649e-16           # erg / K
+
+RAINBOW_PARAM_NAMES = ("reference_time", "amplitude", "rise_time",
+                       "fall_time", "T", "T_amplitude", "t_color")
+T_AMPLITUDE_PRIOR_SIGMA = 0.25
+
+
+def _bazin_unit_peak(t, t0, amplitude, rise_time, fall_time):
+    """Bazin bump scaled to peak amplitude == amplitude
+    (bolometric.py:157-170; overflow-guarded far from t0)."""
+    dt = t - t0
+    r = fall_time / rise_time
+    scale = r ** (rise_time / (fall_time + rise_time)) \
+        + r ** (-fall_time / (fall_time + rise_time))
+    out = np.zeros(len(dt))
+    idx = (dt > -100 * rise_time) & (dt < 100 * fall_time)
+    out[idx] = amplitude * scale / (np.exp(-dt[idx] / rise_time)
+                                    + np.exp(dt[idx] / fall_time))
+    return out
+
+
+def _sigmoid_temperature(t, t0, T, T_amplitude, t_color):
+    """T(t) = T (1 + T_amplitude (2 s - 1)), s = 1/(1 + e^{(t-t0)/t_color})
+    (temperature.py:122-135; saturates outside +-100 t_color)."""
+    dt = t - t0
+    out = np.empty(len(dt))
+    lo = dt <= -100 * t_color
+    hi = dt >= 100 * t_color
+    mid = ~(lo | hi)
+    out[lo] = T * (1.0 + T_amplitude)
+    out[hi] = T * (1.0 - T_amplitude)
+    s = 1.0 / (1.0 + np.exp(dt[mid] / t_color))
+    out[mid] = T * (1.0 + T_amplitude * (2.0 * s - 1.0))
+    return out
+
+
+def _planck_nu(wave_cm, T):
+    """B_nu via e^-x/(1 - e^-x) == e^-x / -expm1(-x) (spectral.py:77-83)."""
+    nu = SPEED_OF_LIGHT / np.asarray(wave_cm)
+    x = PLANCK_H * nu / (BOLTZMAN_K * T)
+    return (2.0 * PLANCK_H / SPEED_OF_LIGHT ** 2) * nu ** 3 \
+        * np.exp(-x) / (-np.expm1(-x))
+
+
+def rainbow_model(t, wave_cm, average_nu, t0, amplitude, rise_time,
+                  fall_time, T, T_amplitude, t_color):
+    """Baseline-free Rainbow flux (_base.py:241-259)."""
+    bol = _bazin_unit_peak(t, t0, amplitude, rise_time, fall_time)
+    temp = _sigmoid_temperature(t, t0, T, T_amplitude, t_color)
+    norm = (SIGMA_SB * temp ** 4) / math.pi / average_nu
+    return _planck_nu(wave_cm, temp) / norm * bol
+
+
+def _t0_and_centroid_sigma(t, m, sigma):
+    """Weighted-centroid peak time and width over the above-median points
+    (bolometric.py:480-490)."""
+    mc = m - np.min(m)
+    idx = m > np.median(m)
+    if not idx.any():
+        idx = np.ones(len(m), dtype=bool)
+    t0 = np.sum(t[idx] * m[idx] / sigma[idx]) / np.sum(m[idx] / sigma[idx])
+    num = np.sum((t[idx] - t0) ** 2 * mc[idx] / sigma[idx])
+    den = np.sum(mc[idx] / sigma[idx])
+    dt = math.sqrt(num / den) if den > 0 and num >= 0 else np.std(t)
+    return t0, max(dt, 1e-3)
+
+
+def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
+                       with_baseline: bool = True, max_iter: int = 150,
+                       n_starts: int = 4):
+    """Fit one multiband curve; returns the unscaled parameter vector
+    [RAINBOW_PARAM_NAMES..., baseline_{band}... (if with_baseline),
+    r_chisq].  Arrays must be time-sorted; band values must all appear in
+    band_wave_cm."""
+    t = np.asarray(t, float)
+    m = np.asarray(m, float)
+    sigma = np.asarray(sigma, float)
+    band = np.asarray(band)
+    band_names = sorted(band_wave_cm)
+    n_par = len(RAINBOW_PARAM_NAMES) + (len(band_names) if with_baseline
+                                        else 0)
+    if len(t) <= n_par:
+        raise ValueError("not enough points")
+    wave_by_name = {b: float(band_wave_cm[b]) for b in band_names}
+    wave_cm = np.array([wave_by_name[b] for b in band])
+    average_nu = SPEED_OF_LIGHT / float(np.mean(list(wave_by_name.values())))
+
+    # ---- scaling (_scaler.py / _base.py:440-452) --------------------------
+    t_shift, t_scale = float(np.mean(t)), float(np.std(t)) or 1.0
+    m_scale = float(np.std(m)) or 1.0
+    band_shift = {b: (float(np.mean(m[band == b]))
+                      if with_baseline and (band == b).any() else 0.0)
+                  for b in band_names}
+    shift_arr = np.array([band_shift[b] for b in band])
+    ts = (t - t_shift) / t_scale
+    ms = (m - shift_arr) / m_scale
+    ss = sigma / m_scale
+
+    # ---- initial guesses + limits (scaled space) ---------------------------
+    if with_baseline:
+        base0 = {b: (float(np.median(ms[band == b]))
+                     if (band == b).any() else 0.0) for b in band_names}
+        m_corr = ms - np.array([base0[b] for b in band])
+    else:
+        base0 = {}
+        m_corr = ms
+    t0_0, dt0 = _t0_and_centroid_sigma(ts, m_corr, ss)
+    t_amp = float(np.ptp(ts)) or 1.0
+    m_amp = float(np.ptp(m_corr)) or 1.0
+    p0 = [t0_0, 1.5 * max(np.max(m_corr), m_amp), dt0, dt0,
+          10000.0, 0.0, 2 * dt0]
+    lower = [ts.min() - 10 * t_amp, 0.0, dt0 / 100, dt0 / 100,
+             1e3, -0.99, dt0 / 3]
+    upper = [ts.max() + 10 * t_amp, 20 * m_amp, 10 * t_amp, 10 * t_amp,
+             2e6, 0.99, 10 * t_amp]
+    priors = [LnPrior.none()] * 5 \
+        + [LnPrior.normal(0.0, T_AMPLITUDE_PRIOR_SIGMA), LnPrior.none()]
+    if with_baseline:
+        for b in band_names:
+            mb = ms[band == b]
+            p0.append(base0[b])
+            if len(mb):
+                lower.append(float(np.min(mb) - 10 * np.ptp(mb)))
+                upper.append(float(np.max(mb)))
+            else:
+                lower.append(0.0)
+                upper.append(0.0)
+            priors.append(LnPrior.none())
+    p0 = np.asarray(p0, float)
+    lower = np.asarray(lower, float)
+    upper = np.asarray(upper, float)
+    base_idx = {b: len(RAINBOW_PARAM_NAMES) + i
+                for i, b in enumerate(band_names)} if with_baseline else {}
+    base_code = np.array([base_idx.get(b, -1) for b in band]) \
+        if with_baseline else None
+
+    def model(x, *params):
+        f = rainbow_model(x, wave_cm, average_nu, *params[:7])
+        if with_baseline:
+            f = f + np.asarray(params)[base_code]
+        return f
+
+    w = ss ** -2.0
+    # deterministic multi-start: the reference re-runs migrad/simplex up to
+    # 10 times (_base.py:515-526); our LM instead restarts from jittered
+    # inits and keeps the best cost
+    best = None
+    jitters = [(0.0, 1.0), (0.5, 0.5), (-0.5, 2.0), (1.0, 1.0)][:n_starts]
+    for dt_j, w_j in jitters:
+        pj = p0.copy()
+        pj[0] = np.clip(p0[0] + dt_j * dt0, lower[0], upper[0])
+        pj[2] = np.clip(p0[2] * w_j, lower[2], upper[2])
+        pj[3] = np.clip(p0[3] * w_j, lower[3], upper[3])
+        p, chi2 = levenberg_marquardt(model, ts, ms, w, pj, lower, upper,
+                                      max_iter=max_iter, ln_priors=priors)
+        if best is None or chi2 < best[1]:
+            best = (p, chi2)
+    p, chi2 = best
+
+    # ---- unscale (declared scalings; _base.py:202-231) ---------------------
+    out = np.empty(n_par + 1)
+    out[0] = p[0] * t_scale + t_shift            # time
+    out[1] = p[1] * m_scale                      # flux
+    out[2] = p[2] * t_scale                      # timescale
+    out[3] = p[3] * t_scale                      # timescale
+    out[4] = p[4]                                # None (Kelvin)
+    out[5] = p[5]                                # None
+    out[6] = p[6] * t_scale                      # timescale
+    if with_baseline:
+        for i, b in enumerate(band_names):
+            out[7 + i] = p[7 + i] * m_scale + band_shift[b]
+    out[-1] = 0.5 * chi2 / (len(t) - n_par)      # Minuit FCN convention
+    return out
+
+
+@_register("rainbow_fit")
+def _rainbow_factory(band_wave_cm: Optional[Dict[str, float]] = None,
+                     with_baseline: bool = True,
+                     max_iter: int = 150) -> Kernel:
+    """Kernel facade: the multiband arrays come pre-split per band in the
+    engine's banded path, so this kernel is NOT dispatched through
+    FeatureExtractor(bands=...) — use operators.spectral.rainbow_fit (joint
+    multiband applyInPandas) instead.  Registered so FeatureSpec can name
+    it and so the fill/min_obs semantics are declared in one place."""
+    if band_wave_cm is None:
+        raise ValueError("rainbow_fit requires band_wave_cm={band: cm}")
+    band_names = sorted(band_wave_cm)
+    names = RAINBOW_PARAM_NAMES \
+        + (tuple(f"baseline_{b}" for b in band_names) if with_baseline
+           else ()) + ("r_chisq",)
+    n_par = len(names) - 1
+
+    def fn(t, m, s):
+        raise ValueError(
+            "rainbow_fit needs the band column; evaluate via "
+            "operators.spectral.rainbow_fit")
+
+    return Kernel(key="rainbow_fit", names=names, func=fn,
+                  min_obs=n_par + 1, needs_sigma=True,
+                  params={"band_wave_cm": dict(band_wave_cm),
+                          "with_baseline": with_baseline,
+                          "max_iter": max_iter})

@@ -123,9 +123,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = shingle(df, text_col, k, id_col)
     idx = sh
     if max_shingle_df is not None:
-        dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-        idx = sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), "sh") \
-            .drop("_df")
+        # window-count on sh: one shuffle whose partitioning the candidate
+        # self-join on sh then reuses — cheaper than a groupBy+join prune
+        idx = (sh.withColumn("_df",
+                             F.count("*").over(Window.partitionBy("sh")))
+               .filter(F.col("_df") <= max_shingle_df)
+               .drop("_df"))
     # candidate generation over the PRUNED index (bounded fan-out); the
     # jaccard itself is verified exactly on the FULL shingle sets, so
     # pruning can only drop candidates whose every shared shingle is hot,

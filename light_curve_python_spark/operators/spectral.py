@@ -19,7 +19,8 @@ from ..functions.kernels import periodogram_power
 from .dmdt import (count_dt_kernel, dmdt_gausses_kernel, dmdt_points_kernel,
                    normalize_dmdt)
 
-__all__ = ["periodogram_freq_power", "multiband_periodogram", "dmdt_maps"]
+__all__ = ["periodogram_freq_power", "multiband_periodogram", "dmdt_maps",
+           "rainbow_fit"]
 
 
 def periodogram_freq_power(obs: DataFrame, entity_col: str = "doc_id",
@@ -173,3 +174,49 @@ def dmdt_maps(obs: DataFrame, entity_col: str = "doc_id", t_col: str = "t",
                              "n_dm": [hist.shape[1]]})
 
     return obs.select(*cols).groupBy(entity_col).applyInPandas(fn, schema)
+
+
+def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
+                t_col: str = "t", m_col: str = "m", sigma_col: str = "sigma",
+                band_col: str = "band", with_baseline: bool = True,
+                fill_value: Optional[float] = float("nan"),
+                max_iter: int = 150) -> DataFrame:
+    """Joint multiband RainbowFit per entity (default Bazin x sigmoid-T x
+    Planck configuration; see functions/rainbow.py for semantics and
+    documented divergences).  One output row per entity: the unscaled
+    parameters + per-band baselines + r_chisq; failed/degenerate fits
+    follow the engine's fill_value contract."""
+    from ..functions.rainbow import RAINBOW_PARAM_NAMES, rainbow_fit_arrays
+    band_names = sorted(band_wave_cm)
+    names = list(RAINBOW_PARAM_NAMES)
+    if with_baseline:
+        names += [f"baseline_{b}" for b in band_names]
+    names += ["r_chisq"]
+    schema = T.StructType(
+        [obs.schema[entity_col]]
+        + [T.StructField(n, T.DoubleType(), True) for n in names])
+    waves = {b: float(band_wave_cm[b]) for b in band_names}
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[t_col].to_numpy(np.float64)
+        order = np.argsort(t, kind="mergesort")
+        try:
+            with np.errstate(all="ignore"):
+                vec = rainbow_fit_arrays(
+                    t[order], pdf[m_col].to_numpy(np.float64)[order],
+                    pdf[sigma_col].to_numpy(np.float64)[order],
+                    pdf[band_col].to_numpy()[order], waves,
+                    with_baseline=with_baseline, max_iter=max_iter)
+            if not np.all(np.isfinite(vec)):
+                raise ValueError("non-finite fit")
+        except (ValueError, ZeroDivisionError, RuntimeError,
+                FloatingPointError, np.linalg.LinAlgError):
+            if fill_value is None:
+                raise
+            vec = np.full(len(names), float(fill_value))
+        row = {entity_col: [pdf[entity_col].iloc[0]]}
+        row.update({n: [v] for n, v in zip(names, vec)})
+        return pd.DataFrame(row)
+
+    return (obs.select(entity_col, t_col, m_col, sigma_col, band_col)
+            .groupBy(entity_col).applyInPandas(fn, schema))

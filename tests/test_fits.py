@@ -171,3 +171,71 @@ def test_ln_prior_pulls_degenerate_fit():
                         ln_prior=[p.spec for p in u])
     out_boxed = evaluate_kernel(boxed, t, m, s, fill_value=None)
     assert 50.0 <= out_boxed[2] <= 60.0
+
+
+def test_rainbow_fit_truth_recovery_spark(spark):
+    """RainbowFit default config (Bazin x sigmoid-T x Planck, per-band
+    baselines): synthetic multiband curves generated FROM the model must be
+    recovered through the Spark operator (the reference's own test
+    strategy, features/rainbow tests)."""
+    from light_curve_python_spark.functions.rainbow import (
+        RAINBOW_PARAM_NAMES,
+        rainbow_model,
+    )
+    from light_curve_python_spark.operators.spectral import rainbow_fit
+
+    waves = {"g": 4770e-8, "r": 6231e-8}
+    avg_nu = 2.99792458e10 / np.mean(list(waves.values()))
+    rng = np.random.default_rng(1)
+    rows = []
+    true_by_doc = {}
+    for d in range(4):
+        n = 160
+        t = np.sort(rng.uniform(0, 200, n))
+        band = rng.choice(["g", "r"], n)
+        wave_cm = np.array([waves[b] for b in band])
+        true = dict(t0=60.0 + 10 * d, amplitude=8.0 + d, rise=5.0 + d,
+                    fall=20.0 + 2 * d, T=8000.0 + 500 * d, T_amp=0.3,
+                    t_color=10.0)
+        true_by_doc[f"doc{d}"] = true
+        flux = rainbow_model(t, wave_cm, avg_nu, true["t0"],
+                             true["amplitude"], true["rise"], true["fall"],
+                             true["T"], true["T_amp"], true["t_color"])
+        flux = flux + np.where(band == "g", 0.5, 0.2)
+        sigma = np.full(n, 0.02 * flux.max())
+        m = flux + sigma * rng.normal(size=n)
+        rows += [(f"doc{d}", float(t[i]), float(m[i]), float(sigma[i]),
+                  str(band[i])) for i in range(n)]
+    obs = spark.createDataFrame(
+        rows, "doc_id string, t double, m double, sigma double, band string")
+    got = rainbow_fit(obs, waves).toPandas().set_index("doc_id")
+    assert list(got.columns) == list(RAINBOW_PARAM_NAMES) + [
+        "baseline_g", "baseline_r", "r_chisq"]
+    for doc, true in true_by_doc.items():
+        row = got.loc[doc]
+        assert row.reference_time == pytest.approx(true["t0"], abs=3.0)
+        assert row.amplitude == pytest.approx(true["amplitude"], rel=0.15)
+        assert row.rise_time == pytest.approx(true["rise"], rel=0.3)
+        assert row.fall_time == pytest.approx(true["fall"], rel=0.2)
+        assert row["T"] == pytest.approx(true["T"], rel=0.15)
+        assert row.baseline_g == pytest.approx(0.5, abs=0.15)
+        assert row.baseline_r == pytest.approx(0.2, abs=0.15)
+        assert row.r_chisq < 2.0
+
+
+def test_rainbow_fit_fill_and_registry(spark):
+    from light_curve_python_spark.operators.spectral import rainbow_fit
+    waves = {"g": 4770e-8, "r": 6231e-8}
+    # too few points for 9 params + 1 dof -> fill row
+    obs = spark.createDataFrame(
+        [("a", float(i), 1.0 + 0.1 * i, 0.1, "g") for i in range(6)],
+        "doc_id string, t double, m double, sigma double, band string")
+    out = rainbow_fit(obs, waves, fill_value=-9.0).toPandas()
+    assert (out.drop(columns="doc_id").to_numpy() == -9.0).all()
+    # kernel registry facade declares names/min_obs; direct eval refuses
+    k = make_kernel("rainbow_fit", band_wave_cm=waves)
+    assert k.names[-1] == "r_chisq"
+    assert k.min_obs == 10
+    got = evaluate_kernel(k, np.arange(20.0), np.ones(20),
+                          np.full(20, 0.1), fill_value=-1.0)
+    assert (got == -1.0).all()
