@@ -1187,6 +1187,35 @@ FROM tau
 """
 
 
+RAINBOW_WAVES = {"g": 4770e-8, "r": 6231e-8}  # effective wavelengths, cm
+
+
+def q_rainbow_fit(spark, sf_dir):
+    """RainbowFit (joint multiband blackbody, default Bazin x sigmoid-T x
+    Planck) over events with the deterministic synthetic g/r band.  The LM
+    fit is iterative and not SQL-expressible, so this entry has no oracle
+    twin — the driver records the weaker rows-only check (the truth-recovery
+    pytest in tests/test_fits.py is the correctness gate)."""
+    from light_curve_python_spark.operators.spectral import rainbow_fit
+    ev = _ev(spark, sf_dir).withColumn(
+        "band", F.when(F.col("event_id") % 2 == 0, F.lit("g"))
+        .otherwise(F.lit("r")))
+    # capped iterations/starts: the driver runs this at sf0.01 where the
+    # noisy event series rarely converges anyway (rows-only check)
+    out = rainbow_fit(ev, RAINBOW_WAVES, entity_col="user_id",
+                      max_iter=40, n_starts=2)
+    return _round6(out)
+
+
+def q_bazin_fit(spark, sf_dir):
+    """BazinFit per entity (LM, iterative — rows-only check; pytest
+    truth-recovery is the correctness gate)."""
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    ex = FeatureExtractor([("bazin_fit", {"max_iter": 40})])
+    return _round6(ex.extract(_ev(spark, sf_dir), entity_col="user_id",
+                              t_col="t", m_col="m", sigma_col="sigma"))
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -1231,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "count_dt": q_count_dt,
         "periodogram_grid": q_periodogram_grid,
+        "rainbow_fit": q_rainbow_fit,
+        "bazin_fit": q_bazin_fit,
         "lang_id": q_lang_id,
     }
     return {name: _shipped(fn) for name, fn in q.items()}

@@ -170,6 +170,12 @@ def _register(key: str):
 
 def make_kernel(key: str, **params) -> Kernel:
     import dataclasses
+    if key not in KERNEL_FACTORIES:
+        # fit/rainbow factories register on module import (they import this
+        # module, so they can't be imported eagerly here)
+        import importlib
+        for mod in ("fits", "rainbow"):
+            importlib.import_module(f"{__package__}.{mod}")
     k = KERNEL_FACTORIES[key](**params)
     ctx_fac = _CTX_IMPLS.get(key)
     if ctx_fac is not None and k.ctx_func is None:

@@ -180,7 +180,7 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                 t_col: str = "t", m_col: str = "m", sigma_col: str = "sigma",
                 band_col: str = "band", with_baseline: bool = True,
                 fill_value: Optional[float] = float("nan"),
-                max_iter: int = 150) -> DataFrame:
+                max_iter: int = 150, n_starts: int = 4) -> DataFrame:
     """Joint multiband RainbowFit per entity (default Bazin x sigmoid-T x
     Planck configuration; see functions/rainbow.py for semantics and
     documented divergences).  One output row per entity: the unscaled
@@ -206,7 +206,8 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                     t[order], pdf[m_col].to_numpy(np.float64)[order],
                     pdf[sigma_col].to_numpy(np.float64)[order],
                     pdf[band_col].to_numpy()[order], waves,
-                    with_baseline=with_baseline, max_iter=max_iter)
+                    with_baseline=with_baseline, max_iter=max_iter,
+                    n_starts=n_starts)
             if not np.all(np.isfinite(vec)):
                 raise ValueError("non-finite fit")
         except (ValueError, ZeroDivisionError, RuntimeError,

@@ -350,6 +350,10 @@ def test_evaluate_many_concats(curve):
 def test_all_registry_keys_instantiate(curve):
     t, m, s = curve
     for key in KERNEL_FACTORIES:
+        if key == "rainbow_fit":
+            # requires band_wave_cm (and the band column; evaluated via
+            # operators.spectral.rainbow_fit) — covered in test_fits.py
+            continue
         k = make_kernel(key)
         out = evaluate_kernel(k, t, m, s, fill_value=np.nan)
         assert out.shape == (k.size,)
