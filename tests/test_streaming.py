@@ -68,3 +68,128 @@ def test_streaming_bins(spark, event_dir, tmp_path):
         str(tmp_path / "s2")).toPandas()
     assert out.n_obs.sum() == 120
     assert (out.groupby("user_id").n_obs.sum() == 30).all()
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming as-of join (applyInPandasWithState) == batch asof_join on
+    the same data when everything arrives in one trigger."""
+    import numpy as np
+
+    from light_curve_python_spark.operators.asof import asof_join
+    from light_curve_python_spark.streaming.asof import streaming_asof_join
+
+    rng = np.random.default_rng(3)
+    obs_rows = [(int(u), float(t), float(rng.normal()))
+                for u in range(5) for t in sorted(rng.uniform(0, 100, 40))]
+    probe_rows = [(int(u), float(t))
+                  for u in range(5) for t in sorted(rng.uniform(0, 110, 15))]
+    obs_pdf = pd.DataFrame(obs_rows, columns=["user_id", "t", "v"])
+    probes_pdf = pd.DataFrame(probe_rows, columns=["user_id", "ts"])
+    obs_dir = str(tmp_path / "obs")
+    probes_dir = str(tmp_path / "probes")
+    spark.createDataFrame(obs_pdf).write.parquet(obs_dir)
+    spark.createDataFrame(probes_pdf).write.parquet(probes_dir)
+
+    obs_stream = spark.readStream.schema("user_id long, t double, v double") \
+        .parquet(obs_dir)
+    probe_stream = spark.readStream.schema("user_id long, ts double") \
+        .parquet(probes_dir)
+    out = streaming_asof_join(probe_stream, obs_stream, on="user_id",
+                              left_ts="ts", right_ts="t", value_cols=["v"])
+    q = (out.writeStream.format("memory").queryName("asof_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("asof_stream").toPandas() \
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+    want = asof_join(spark.createDataFrame(probes_pdf),
+                     spark.createDataFrame(obs_pdf),
+                     on="user_id", left_ts="ts", right_ts="t",
+                     value_cols=["v"]).toPandas() \
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert len(got) == len(want) == len(probes_pdf)
+    for c in ("v_asof", "t_asof"):
+        pd.testing.assert_series_equal(got[c], want[c], check_names=False)
+
+
+def test_streaming_asof_state_carries_across_restarts(spark, tmp_path):
+    """Observations processed in run 1 must still match probes arriving in
+    run 2 (state persisted via the checkpoint) — the resumability contract."""
+    from light_curve_python_spark.streaming.asof import streaming_asof_join
+
+    obs_dir = tmp_path / "obs2"
+    probes_dir = tmp_path / "probes2"
+    obs_dir.mkdir()
+    probes_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+
+    out_dir = str(tmp_path / "out2")
+
+    def run_once():
+        # file sink (memory sink cannot recover from a checkpoint): the
+        # restart reads the SAME checkpoint, so run-1 state is restored
+        obs_stream = spark.readStream \
+            .schema("user_id long, t double, v double").parquet(str(obs_dir))
+        probe_stream = spark.readStream \
+            .schema("user_id long, ts double").parquet(str(probes_dir))
+        out = streaming_asof_join(probe_stream, obs_stream, on="user_id",
+                                  left_ts="ts", right_ts="t",
+                                  value_cols=["v"])
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # run 1: only observations (plus an empty-probe placeholder dir needs
+    # at least a schema; parquet dir may be empty — write an empty frame)
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1], "t": [10.0, 20.0],
+                      "v": [5.0, 7.0]})).write.mode("append") \
+        .parquet(str(obs_dir))
+    spark.createDataFrame([], "user_id long, ts double") \
+        .write.mode("append").parquet(str(probes_dir))
+    run_once()
+
+    # run 2: only probes — they must see run 1's observations from state
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1], "ts": [15.0, 25.0]})) \
+        .write.mode("append").parquet(str(probes_dir))
+    run_once()
+
+    got = spark.read.parquet(out_dir).toPandas().sort_values("ts")
+    assert got.v_asof.tolist() == [5.0, 7.0]
+    assert got.t_asof.tolist() == [10.0, 20.0]
+
+
+def test_streaming_asof_lookback_bounds_state(spark, tmp_path):
+    """lookback evicts history but keeps the ffill anchor: probes inside
+    the horizon still match."""
+    from light_curve_python_spark.streaming.asof import streaming_asof_join
+
+    obs_dir = str(tmp_path / "obs3")
+    probes_dir = str(tmp_path / "probes3")
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1] * 4, "t": [1.0, 2.0, 50.0, 60.0],
+                      "v": [1.0, 2.0, 50.0, 60.0]})).write.parquet(obs_dir)
+    spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1], "ts": [55.0, 3.0]})) \
+        .write.parquet(probes_dir)
+    obs_stream = spark.readStream.schema("user_id long, t double, v double") \
+        .parquet(obs_dir)
+    probe_stream = spark.readStream.schema("user_id long, ts double") \
+        .parquet(probes_dir)
+    out = streaming_asof_join(probe_stream, obs_stream, on="user_id",
+                              left_ts="ts", right_ts="t", value_cols=["v"],
+                              lookback=20.0)
+    q = (out.writeStream.format("memory").queryName("asof_lb")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("asof_lb").toPandas().set_index("ts")
+    # both probes are in the first (single) batch, so full within-batch
+    # visibility applies; eviction only shrinks CARRIED state
+    assert got.loc[55.0, "v_asof"] == 50.0
+    assert got.loc[3.0, "v_asof"] == 2.0
