@@ -1216,6 +1216,64 @@ def q_bazin_fit(spark, sf_dir):
                               t_col="t", m_col="m", sigma_col="sigma"))
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts (operators/text.py) — the
+    regex class set is portable between Java regex and DuckDB's RE2."""
+    from light_curve_python_spark.operators.text import token_count_bpe_ish
+    out = token_count_bpe_ish(_docs(spark, sf_dir))
+    return out.select("doc_id",
+                      F.col("n_whitespace_tokens").cast("long")
+                      .alias("n_whitespace_tokens"),
+                      F.col("n_bpe_ish_tokens").cast("long")
+                      .alias("n_bpe_ish_tokens"))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+    AS n_whitespace_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+    AS n_bpe_ish_tokens
+FROM documents
+"""
+
+
+COSINE_DUP_TAU = 0.45
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs at a fixed threshold — exact
+    all-pairs form as the small-scale oracle (the LSH/IVF bucketed variants
+    in operators/similarity.py are the 100 TB path, pytest-verified)."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", dot / (norm(F.col("ea"))
+                                         * norm(F.col("eb"))))
+            .filter(F.col("cosine") >= COSINE_DUP_TAU)
+            .select("id_a", "id_b", _r("cosine", 6).alias("cosine")))
+
+
+SQL_COSINE_DUP_PAIRS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e))
+         * sqrt(list_dot_product(b.e, b.e))) >= {COSINE_DUP_TAU}
+"""
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -1262,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram_grid": q_periodogram_grid,
         "rainbow_fit": q_rainbow_fit,
         "bazin_fit": q_bazin_fit,
+        "token_counts": q_token_counts,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
         "lang_id": q_lang_id,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
@@ -1301,6 +1361,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidates": SQL_LSH_CANDIDATES,
         "count_dt": SQL_COUNT_DT,
         "periodogram_grid": SQL_PERIODOGRAM_GRID,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
         "lang_id": _langid_sql(),
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)
