@@ -141,6 +141,11 @@ def _words(spark, sf_dir):
 
 
 def _word_dict(words_df):
+    """Dense integer ids over the sorted vocabulary — ORACLE-ONLY device so
+    minhash/simhash/fingerprint arithmetic is integer-exact in both engines.
+    The global row_number window is a deliberate single-partition step that
+    a production pipeline never runs: operators/dedup.py hashes shingles
+    with xxhash64 instead (no dictionary, no global ordering)."""
     return (words_df.select("w").distinct()
             .withColumn("wid", F.row_number().over(Window.orderBy("w"))))
 

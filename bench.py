@@ -204,6 +204,12 @@ def _headline_queries(spark, obs_path, probes_path):
         ex = FeatureExtractor([("periodogram", {"peaks": 1})])
         return ex.extract(obs)
 
+    def minhash_production(s):
+        from light_curve_python_spark.operators.dedup import (
+            minhash_signatures)
+        docs = s.read.parquet(f"{SF_DIR}/documents.parquet")
+        return minhash_signatures(docs, n_hashes=16, k=3)
+
     def feat_quantiles_kernel(s):
         # Hazen quantile family via the fused kernel path (single pass per
         # entity, no row_number sort-join); the row_number SQL twin stays
@@ -224,7 +230,10 @@ def _headline_queries(spark, obs_path, probes_path):
         "asof_join_events": lambda s: E.q_asof_join(s, SF_DIR),
         "sessionize_events": lambda s: E.q_sessionize(s, SF_DIR),
         "rolling_range_events": lambda s: E.q_rolling_1h(s, SF_DIR),
-        "minhash_documents": lambda s: E.q_minhash_signatures(s, SF_DIR),
+        # production minhash (xxhash64 shingle perms, no global word-dict
+        # window) — the oracle's dictionary variant stays in __spark_entry__
+        # where integer-exact DuckDB parity needs it
+        "minhash_documents": minhash_production,
         "nn_jaccard_documents":
             lambda s: E.q_nearest_neighbor_jaccard(s, SF_DIR),
         "cosine_topk_embeddings": lambda s: E.q_cosine_topk(s, SF_DIR),
