@@ -32,6 +32,12 @@ class FeatureSpec:
     def __post_init__(self):
         for f in self.features:
             if f["name"] not in KERNEL_FACTORIES:
+                # fit/rainbow factories register on module import
+                import importlib
+                for mod in ("fits", "rainbow"):
+                    importlib.import_module(
+                        f"light_curve_python_spark.functions.{mod}")
+            if f["name"] not in KERNEL_FACTORIES:
                 raise ValueError(f"unknown feature: {f['name']}")
 
     # ---- construction ------------------------------------------------------

@@ -102,3 +102,25 @@ def test_bucketed_cogroup_zero_exchange(spark, tmp_path_factory, obs):
         spark.table("pt.p").groupby("doc_id")) \
         .applyInPandas(fn, "doc_id string, x double")
     assert _n_exchanges(g) == 0, _plan(g)
+
+
+def test_feature_spec_roundtrips_priors_and_rainbow():
+    """ln_prior-carrying fit params and the rainbow_fit facade must survive
+    the JSON round trip (plans resume from disk)."""
+    from light_curve_python_spark.functions.fits import LnPrior
+    from light_curve_python_spark.plans.spec import FeatureSpec
+    priors = [LnPrior.none().spec, LnPrior.normal(2.0, 0.1).spec,
+              LnPrior.none().spec, LnPrior.uniform(1.0, 9.0).spec,
+              LnPrior.none().spec]
+    spec = FeatureSpec.of(
+        ("bazin_fit", {"ln_prior": priors, "max_iter": 50}),
+        ("rainbow_fit", {"band_wave_cm": {"g": 4.77e-5, "r": 6.231e-5}}),
+    )
+    rt = FeatureSpec.from_json(spec.to_json())
+    assert rt.features == spec.features  # (fill NaN != NaN by design)
+    names = rt.names
+    assert "bazin_fit_a" in names and "r_chisq" in names
+    # compiled kernels carry the prior specs
+    ex = rt.to_extractor()
+    bazin = ex.kernels[0]
+    assert bazin.params["ln_prior"][1][0] == "normal"

@@ -124,3 +124,48 @@ def test_fill_on_constant_m(curve):
         t, m, s, np.array([n]))[0]
     assert perf[0] == 0.0  # beyond: count(|0|>0)/n
     np.testing.assert_allclose(perf, batf, rtol=1e-12, atol=1e-12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(10, 300),
+       st.floats(3.0, 20.0), st.floats(0.5, 2.0))
+def test_fast_periodogram_tracks_direct(seed, n, resolution, mff):
+    """Press-Rybicki FFT vs direct Lomb on arbitrary curves and grid
+    parameters: relative error bounded everywhere."""
+    from light_curve_python_spark.functions.fastperiodogram import (
+        lomb_scargle_power_fast)
+    from light_curve_python_spark.functions.kernels import (
+        lomb_scargle_power,
+        periodogram_freq_grid,
+    )
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 100, n))
+    if t[-1] - t[0] <= 0:
+        return
+    m = rng.uniform(15, 21, n)
+    y = (m - m.mean()) / (m.std(ddof=1) or 1.0)
+    freqs = periodogram_freq_grid(t, resolution, mff)
+    p_fast = lomb_scargle_power_fast(t, y, freqs[0], len(freqs))
+    p_direct = lomb_scargle_power(t, y, freqs)
+    np.testing.assert_allclose(p_fast, p_direct, rtol=2e-4,
+                               atol=1e-6 * max(p_direct.max(), 1.0))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 200),
+       st.integers(64, 2048), st.integers(2, 8))
+def test_extirpolate_preserves_trig_sums(seed, npts, n, macc):
+    """Extirpolation invariant: sum_k wk[k] e^{-2 pi i k j / n} must
+    approximate sum_p y_p e^{-2 pi i x_p j / n} for low harmonics j."""
+    from light_curve_python_spark.functions.fastperiodogram import extirpolate
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, n, npts)
+    y = rng.normal(size=npts)
+    wk = extirpolate(x, y, n, macc)
+    # exact total mass
+    assert np.isclose(wk.sum(), y.sum(), rtol=1e-9, atol=1e-9)
+    j = max(1, n // 64)  # a low harmonic relative to the grid
+    want = np.sum(y * np.exp(-2 * np.pi * 1j * x * j / n))
+    got = np.sum(wk * np.exp(-2 * np.pi * 1j * np.arange(n) * j / n))
+    scale = max(np.abs(y).sum(), 1.0)
+    assert abs(got - want) / scale < 5e-3
