@@ -508,6 +508,45 @@ GROUP BY j.user_id, j.pts, j.props
 """
 
 
+PIT_HORIZON = 5.0  # days
+
+
+def q_pit_features_horizon(spark, sf_dir):
+    """PIT extraction with a RANGE horizon: window = [ts - H, ts], inclusive
+    both ends (matching Window.rangeBetween(-H, 0)) — pins the kernel
+    horizon path (operators/extract.py searchsorted lower bound) to a
+    DuckDB join twin."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    probes = (ranked.filter((F.col("event_type") == "purchase")
+                            & (F.col("rn") >= 4))
+              .select("user_id", F.col("t").alias("pts")))
+    ex = FeatureExtractor(["observation_count", "mean", "amplitude"])
+    out = ex.extract_point_in_time(
+        ev.select("user_id", "t", "m", "sigma"), probes,
+        entity_col="user_id", t_col="t", m_col="m", sigma_col="sigma",
+        ts_col="pts", horizon=PIT_HORIZON)
+    return _round6(out)
+
+
+SQL_PIT_HORIZON = f"""
+WITH ev AS ({EV_SQL}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+           FROM ev),
+p AS (SELECT user_id, t AS pts FROM ranked
+      WHERE event_type = 'purchase' AND rn >= 4),
+j AS (SELECT p.user_id, p.pts, e.m
+      FROM p JOIN ev e ON e.user_id = p.user_id
+        AND e.t <= p.pts AND e.t >= p.pts - {PIT_HORIZON})
+SELECT user_id, ROUND(pts, 6) AS pts,
+  CAST(count(*) AS DOUBLE) AS observation_count,
+  ROUND(avg(m), 6) AS mean,
+  ROUND((max(m) - min(m)) / 2, 6) AS amplitude
+FROM j GROUP BY user_id, pts
+"""
+
+
 def q_asof_join(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     probes = (ev.filter(F.col("event_type") == "purchase")
@@ -1302,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_otsu_split": q_feat_otsu,
         "feat_detection_counts": q_feat_detection_counts,
         "pit_features_kernel": q_pit_features_kernel,
+        "pit_features_horizon": q_pit_features_horizon,
         "asof_join": q_asof_join,
         "lag_lead": q_lag_lead,
         "backfill_ffill": q_backfill,
@@ -1345,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "feat_otsu_split": SQL_OTSU,
         "feat_detection_counts": SQL_DETECTION,
         "pit_features_kernel": SQL_PIT_FEATURES,
+        "pit_features_horizon": SQL_PIT_HORIZON,
         "asof_join": SQL_ASOF,
         "lag_lead": SQL_LAG_LEAD,
         "backfill_ffill": SQL_BACKFILL,
