@@ -1191,12 +1191,21 @@ def q_periodogram_grid(spark, sf_dir):
                            T.StructField("freq_idx", T.LongType()),
                            T.StructField("power", T.DoubleType())])
 
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "freq_idx": pd.Series([], dtype="int64"),
+                          "power": pd.Series([], dtype="float64")})
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         t = pdf["t"].to_numpy(np.float64)
+        m = pdf["m"].to_numpy(np.float64)
+        # degenerate groups (n < 2 or zero variance) are EXCLUDED in both
+        # engines (the SQL twin filters n >= 2 AND sm > 0) instead of
+        # crashing the whole query in the kernel's ValueError path
+        if len(m) < 2 or np.std(m, ddof=1) == 0:
+            return empty
         order = np.argsort(t, kind="mergesort")
         _, power = periodogram_power(
-            t[order], pdf["m"].to_numpy(np.float64)[order],
-            freqs=freqs, normalization="psd")
+            t[order], m[order], freqs=freqs, normalization="psd")
         return pd.DataFrame({
             "user_id": pdf["user_id"].iloc[0],
             "freq_idx": np.arange(len(freqs), dtype=np.int64),
@@ -1213,7 +1222,8 @@ WITH ev AS ({EV_SQL}),
 g AS (SELECT user_id, avg(m) AS am, stddev_samp(m) AS sm, count(*) AS n
       FROM ev GROUP BY user_id),
 y AS (SELECT e.user_id, e.t, (e.m - g.am) / g.sm AS y, g.n
-      FROM ev e JOIN g USING (user_id)),
+      FROM ev e JOIN g USING (user_id)
+      WHERE g.n >= 2 AND g.sm > 0),
 fr AS (SELECT * FROM (VALUES {_PG_VALUES}) AS v(freq_idx, w)),
 s AS (SELECT user_id, freq_idx, max(n) AS n,
         sum(y * cos(w * t)) AS yc0, sum(y * sin(w * t)) AS ys0,

@@ -168,14 +168,20 @@ def _register(key: str):
     return deco
 
 
-def make_kernel(key: str, **params) -> Kernel:
-    import dataclasses
+def ensure_lazy_factories(key: str) -> None:
+    """fit/rainbow factories register on module import (they import this
+    module, so they can't be imported eagerly here)."""
     if key not in KERNEL_FACTORIES:
-        # fit/rainbow factories register on module import (they import this
-        # module, so they can't be imported eagerly here)
         import importlib
         for mod in ("fits", "rainbow"):
             importlib.import_module(f"{__package__}.{mod}")
+
+
+def make_kernel(key: str, **params) -> Kernel:
+    import dataclasses
+    ensure_lazy_factories(key)
+    if key not in KERNEL_FACTORIES:
+        raise ValueError(f"unknown feature: {key}")
     k = KERNEL_FACTORIES[key](**params)
     ctx_fac = _CTX_IMPLS.get(key)
     if ctx_fac is not None and k.ctx_func is None:

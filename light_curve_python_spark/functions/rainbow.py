@@ -134,7 +134,11 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
     if len(t) <= n_par:
         raise ValueError("not enough points")
     wave_by_name = {b: float(band_wave_cm[b]) for b in band_names}
-    wave_cm = np.array([wave_by_name[b] for b in band])
+    try:
+        wave_cm = np.array([wave_by_name[b] for b in band])
+    except KeyError as e:
+        # ValueError so the operator's fill_value contract applies
+        raise ValueError(f"band {e.args[0]!r} not in band_wave_cm") from e
     average_nu = SPEED_OF_LIGHT / float(np.mean(list(wave_by_name.values())))
 
     # ---- scaling (_scaler.py / _base.py:440-452) --------------------------

@@ -30,10 +30,12 @@ def exact_dedup(df: DataFrame, cols: Sequence[str],
                 keep_col: str = "doc_id") -> DataFrame:
     """Keep one representative row (min keep_col) per exact duplicate group
     over ``cols``; adds ``dup_count``."""
-    # xxhash64 hashes each column with its length, so column boundaries
-    # are unambiguous regardless of content (a concat_ws digest collides
-    # when a column contains the separator byte)
-    digest = F.xxhash64(*[F.col(c) for c in cols])
+    # md5(to_json(struct(...))): column boundaries AND nulls are encoded
+    # explicitly (xxhash64 treats a NULL column as a no-op on its seed, so
+    # ("ab", NULL) and (NULL, "ab") would collide), and 128 bits keeps the
+    # any-pair birthday collision probability negligible at 10^12 rows
+    # (64 bits would not)
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
     w = Window.partitionBy("_digest")
     return (df.withColumn("_digest", digest)
             .withColumn("dup_count", F.count("*").over(w))
@@ -111,15 +113,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.8,
                         max_shingle_df: Optional[int] = 256) -> DataFrame:
-    """Exact Jaccard >= threshold pairs via inverted shingle index.
+    """Jaccard >= threshold pairs via a df-PRUNED inverted shingle index:
+    surviving pairs carry their EXACT full-set Jaccard, but a pair whose
+    every shared shingle is hotter than ``max_shingle_df`` generates no
+    candidate and is missed — notably >cap near-identical copies of one
+    template (exact copies of it are still caught by ``exact_dedup``).
+    Pass ``max_shingle_df=None`` for the exact candidate superset (only
+    safe on small corpora).
 
     max_shingle_df is ON by default (256): a shingle shared by d documents
     contributes d*(d-1)/2 candidate pairs, so one stopword shingle in a real
     corpus makes the join quadratic.  Dropping shingles with document
     frequency > cap bounds the per-shingle fan-out at cap^2 while candidates
     for genuinely similar pairs survive through their rarer shingles (the
-    standard inverted-index prefix/df-pruning argument).  Pass ``None`` to
-    opt out (exact candidate superset, only safe on small corpora)."""
+    standard inverted-index prefix/df-pruning argument)."""
     sh = shingle(df, text_col, k, id_col)
     idx = sh
     if max_shingle_df is not None:

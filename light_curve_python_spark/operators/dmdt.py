@@ -48,12 +48,28 @@ def _pairs(t: np.ndarray, m: np.ndarray):
     return t[j] - t[i], m[j] - m[i]
 
 
+def _bin_exclusive(x: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Half-open binning [edge_i, edge_{i+1}) including the grid contract's
+    exclusive TOP edge (dmdt.rs:779 documents the plane as limited by
+    [min; max)) — np.histogram would include the last bin's right edge."""
+    idx = np.searchsorted(edges, x, side="right") - 1
+    idx[x == edges[0]] = 0  # left edge inclusive
+    out_of_range = (idx < 0) | (idx >= len(edges) - 1) | (x >= edges[-1])
+    idx[out_of_range] = -1
+    return idx
+
+
 def dmdt_points_kernel(t: np.ndarray, m: np.ndarray,
                        dt_edges: np.ndarray,
                        dm_edges: np.ndarray) -> np.ndarray:
-    """Dense (n_dt, n_dm) pair-count map (dmdt.rs:156-242)."""
+    """Dense (n_dt, n_dm) pair-count map (dmdt.rs:156-242); all intervals
+    half-open per the reference's [min; max) grid contract."""
     dt, dm = _pairs(np.asarray(t, float), np.asarray(m, float))
-    hist, _, _ = np.histogram2d(dt, dm, bins=(dt_edges, dm_edges))
+    i = _bin_exclusive(dt, np.asarray(dt_edges, float))
+    j = _bin_exclusive(dm, np.asarray(dm_edges, float))
+    ok = (i >= 0) & (j >= 0)
+    hist = np.zeros((len(dt_edges) - 1, len(dm_edges) - 1))
+    np.add.at(hist, (i[ok], j[ok]), 1.0)
     return hist
 
 
@@ -86,8 +102,10 @@ def count_dt_kernel(t: np.ndarray,
     (src/dmdt.rs:88-154: ``dt_points`` over ALL pairs, no dm filtering)."""
     t = np.asarray(t, float)
     i, j = np.triu_indices(len(t), k=1)
-    hist, _ = np.histogram(t[j] - t[i], bins=dt_edges)
-    return hist.astype(np.float64)
+    b = _bin_exclusive(t[j] - t[i], np.asarray(dt_edges, float))
+    hist = np.zeros(len(dt_edges) - 1)
+    np.add.at(hist, b[b >= 0], 1.0)
+    return hist
 
 
 def normalize_dmdt(hist: np.ndarray, norm: Sequence[str] = (),

@@ -257,15 +257,25 @@ class FeatureExtractor:
             cutoffs = out[ts_col].to_numpy(dtype=np.float64)
             if battery is not None:
                 ends = np.searchsorted(t, cutoffs, side="right")
+                # a NULL/NaN cutoff must see NOTHING (fill row) — searchsorted
+                # treats NaN as +inf, which would leak the full history
+                ends[np.isnan(cutoffs)] = 0
                 feats = battery.evaluate_prefixes(t, m, s, ends)
             else:
                 feats = np.empty((len(out), len(names)), dtype=np.float64)
                 for j, cutoff in enumerate(cutoffs):
-                    hi = np.searchsorted(t, cutoff, side="right")
-                    # inclusive lower bound: t >= ts - horizon, matching
-                    # Window.rangeBetween(-horizon, 0)
-                    lo = (np.searchsorted(t, cutoff - horizon, side="left")
-                          if horizon is not None else 0)
+                    if np.isnan(cutoff):
+                        # NULL/NaN cutoff sees NOTHING (fill row) — NaN
+                        # compares as +inf in searchsorted and would leak
+                        # the full history
+                        lo = hi = 0
+                    else:
+                        hi = np.searchsorted(t, cutoff, side="right")
+                        # inclusive lower bound: t >= ts - horizon, matching
+                        # Window.rangeBetween(-horizon, 0)
+                        lo = (np.searchsorted(t, cutoff - horizon,
+                                              side="left")
+                              if horizon is not None else 0)
                     sl = slice(lo, hi)
                     sw = None if s is None else s[sl]
                     if codes is None:
@@ -312,6 +322,7 @@ class FeatureExtractor:
                  if sigma_col else None)
             ts = probes_t.column(ts_col).to_numpy()
             ends = np.searchsorted(t, ts, side="right")
+            ends[np.isnan(ts)] = 0  # NaN cutoff sees nothing (fill row)
             feats = battery.evaluate_prefixes(t, m, s, ends)
             cols = [probes_t.column(n).combine_chunks()
                     for n in probe_names] + \

@@ -210,7 +210,7 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                     n_starts=n_starts)
             if not np.all(np.isfinite(vec)):
                 raise ValueError("non-finite fit")
-        except (ValueError, ZeroDivisionError, RuntimeError,
+        except (ValueError, KeyError, ZeroDivisionError, RuntimeError,
                 FloatingPointError, np.linalg.LinAlgError):
             if fill_value is None:
                 raise

@@ -30,13 +30,9 @@ class FeatureSpec:
     transforms: Optional[dict] = None
 
     def __post_init__(self):
+        from ..functions.kernels import ensure_lazy_factories
         for f in self.features:
-            if f["name"] not in KERNEL_FACTORIES:
-                # fit/rainbow factories register on module import
-                import importlib
-                for mod in ("fits", "rainbow"):
-                    importlib.import_module(
-                        f"light_curve_python_spark.functions.{mod}")
+            ensure_lazy_factories(f["name"])
             if f["name"] not in KERNEL_FACTORIES:
                 raise ValueError(f"unknown feature: {f['name']}")
 
@@ -70,6 +66,13 @@ class FeatureSpec:
         d = json.loads(s)
         if d.get("version") != 1:
             raise ValueError(f"unsupported spec version: {d.get('version')}")
+        for f in d["features"]:
+            if f["name"] == "periodogram" and "fast" not in f["params"]:
+                # specs serialized before the factory default flipped to
+                # fast=True were computed with the direct evaluator; pin it
+                # so a CheckpointedRun resumed across the upgrade doesn't
+                # mix evaluators between buckets of one output table
+                f["params"]["fast"] = False
         return cls(d["features"], d["fill_value"], d["bands"],
                    d["transforms"])
 

@@ -241,3 +241,21 @@ def test_count_dt_sql_matches_kernel(spark, obs):
         for _, r in sub.iterrows():
             dense[int(r.dt_bin)] = r.pair_count
         np.testing.assert_array_equal(dense, want)
+
+
+def test_dmdt_grids_exclude_top_edge():
+    """The reference grid is half-open [min; max) (dmdt.rs:779): a pair
+    whose dt or dm equals the top edge falls OUTSIDE — and the SQL twins'
+    floor binning agrees (regression: np.histogram includes the last bin's
+    right edge)."""
+    t = np.array([0.0, 1000.0])
+    m = np.array([0.0, 2.0])
+    dt_edges = np.logspace(-1, 3, 11)     # top edge = 1000 == dt
+    dm_edges = np.linspace(-2, 2, 5)      # top edge = 2 == dm
+    assert count_dt_kernel(t, dt_edges).sum() == 0
+    assert dmdt_points_kernel(t, m, dt_edges, dm_edges).sum() == 0
+    # strictly inside -> counted once, left edges inclusive
+    t2 = np.array([0.0, 0.1])
+    m2 = np.array([0.0, -2.0])
+    assert count_dt_kernel(t2, dt_edges).sum() == 1      # dt == min edge
+    assert dmdt_points_kernel(t2, m2, dt_edges, dm_edges).sum() == 1

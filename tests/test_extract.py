@@ -242,3 +242,24 @@ def test_extract_nested_banded_and_validation(spark):
     ex2 = FeatureExtractor(["mean"])
     with pytest.raises(Exception, match="null"):
         ex2.extract_nested(bad).collect()
+
+
+def test_nan_probe_ts_sees_nothing(spark, data):
+    """A NULL/NaN probe timestamp must produce a FILL row, never the full
+    observation history (searchsorted treats NaN as +inf — silent future
+    leakage otherwise).  Covers the battery, arrow, loop, and horizon
+    paths."""
+    obs, probes, _, _ = data
+    from pyspark.sql import functions as F
+    bad = probes.limit(3).withColumn("ts", F.lit(None).cast("double"))
+    mixed = probes.limit(5).unionByName(bad)
+    for kwargs in ({}, {"use_arrow": False}, {"horizon": 50.0}):
+        ex = FeatureExtractor(["observation_count", "mean"],
+                              fill_value=-7.0)
+        out = ex.extract_point_in_time(
+            obs, mixed, entity_col="doc_id", ts_col="ts",
+            **kwargs).toPandas()
+        nan_rows = out[out.ts.isna()]
+        assert len(nan_rows) == 3
+        assert (nan_rows.observation_count == -7.0).all()
+        assert (nan_rows["mean"] == -7.0).all()

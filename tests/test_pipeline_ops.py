@@ -292,3 +292,14 @@ def test_ngram_jaccard_hot_shingle_bounded(spark):
     all_pairs = ngram_jaccard_pairs(df, k=2, threshold=0.0,
                                     max_shingle_df=2).toPandas()
     assert len(all_pairs) == 1
+
+
+def test_exact_dedup_null_columns_distinct(spark):
+    # ("ab", NULL) and (NULL, "ab") must be DIFFERENT groups — xxhash64
+    # treats a NULL column as a no-op on the seed and collides them
+    rows = [(0, "ab", None), (1, None, "ab"), (2, "ab", None)]
+    df = spark.createDataFrame(rows, "doc_id long, x string, y string")
+    out = exact_dedup(df, ["x", "y"]).toPandas().sort_values("doc_id")
+    assert set(out.doc_id) == {0, 1}
+    assert out[out.doc_id == 0].dup_count.iloc[0] == 2
+    assert out[out.doc_id == 1].dup_count.iloc[0] == 1
