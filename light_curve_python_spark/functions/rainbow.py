@@ -27,12 +27,17 @@ Output = fitted parameters + r_chisq = 0.5 * chi2 / (n - n_params) (the
 Minuit FCN convention of _base.py:731), prior penalty excluded from the
 reported chi2.
 
+The term registry mirrors the reference's composition rules
+(generic.py:108-132: parameters shared by name, ``reference_time`` common
+to the bolometric and sigmoid-temperature terms): bolometric in
+{bazin, sigmoid, linexp} (bolometric.py), temperature in
+{sigmoid, constant} (temperature.py), spectral = planck.
+
 DOCUMENTED DIVERGENCES from the reference: the optimizer is the engine's
 pure-numpy Levenberg-Marquardt with deterministic multi-start (iminuit is
-unavailable in this environment); the pluggable term registry (sigmoid /
-linexp / doublexp bolometrics, delayed-sigmoid temperature, blanketed
-Planck), upper-limit Tobit likelihood, and Minuit error propagation are not
-implemented.
+unavailable in this environment); the doublexp bolometric, delayed-sigmoid
+temperature, blanketed-Planck spectral term, upper-limit Tobit likelihood,
+and Minuit error propagation are not implemented.
 """
 
 from __future__ import annotations
@@ -45,7 +50,8 @@ import numpy as np
 from .fits import LnPrior, levenberg_marquardt
 from .kernels import Kernel, _register
 
-__all__ = ["rainbow_model", "rainbow_fit_arrays", "RAINBOW_PARAM_NAMES"]
+__all__ = ["rainbow_model", "rainbow_fit_arrays", "RAINBOW_PARAM_NAMES",
+           "rainbow_param_names", "BOLOMETRIC_TERMS", "TEMPERATURE_TERMS"]
 
 SIGMA_SB = 5.6703744191844314e-05   # erg / (cm^2 s K^4)
 SPEED_OF_LIGHT = 2.99792458e10      # cm / s
@@ -117,20 +123,161 @@ def _t0_and_centroid_sigma(t, m, sigma):
     return t0, max(dt, 1e-3)
 
 
+def _median_dt(t, band):
+    """Median per-band sampling interval (bolometric.py:470-477)."""
+    dts = []
+    for b in np.unique(band):
+        tb = t[band == b]
+        dts.extend(tb[1:] - tb[:-1])
+    return float(np.median(dts)) if dts else 1.0
+
+
+def _sigmoid_bol(t, t0, amplitude, rise_time):
+    """Rising sigmoid bolometric (bolometric.py:79-87)."""
+    dt = t - t0
+    out = np.zeros(len(dt))
+    idx = dt > -100 * rise_time
+    out[idx] = amplitude / (np.exp(-dt[idx] / rise_time) + 1.0)
+    return out
+
+
+def _linexp_bol(t, t0, amplitude, rise_time):
+    """Linear-rise x exponential, unit peak (bolometric.py:269-281);
+    reference_time is the zero-flux crossing, rise_time may be negative."""
+    dt = t0 - t
+    protected = math.copysign(max(1e-5, abs(rise_time)), rise_time)
+    scale = 1.0 / (protected * math.exp(-1.0))
+    power = np.minimum(-dt / protected, 100.0)
+    out = amplitude * scale * dt * np.exp(power)
+    return np.where(out > 0, out, 0.0)
+
+
+class _Term:
+    """One pluggable model term: names/scalings/value plus data-driven
+    initial guesses, box limits, and optional Gaussian priors — the
+    composition contract of rainbow/generic.py:108-132."""
+
+    def __init__(self, names, scalings, value, init, limits, priors=None):
+        self.names = tuple(names)
+        self.scalings = tuple(scalings)
+        self.value = value
+        self.init = init
+        self.limits = limits
+        self.priors = dict(priors or {})
+
+
+BOLOMETRIC_TERMS: Dict[str, _Term] = {
+    # bolometric.py:145-215
+    "bazin": _Term(
+        ("reference_time", "amplitude", "rise_time", "fall_time"),
+        ("time", "flux", "timescale", "timescale"),
+        _bazin_unit_peak,
+        lambda t, m, s, band: (lambda t0, dt: {
+            "reference_time": t0,
+            "amplitude": 1.5 * max(float(np.max(m)), float(np.ptp(m)) or 1.0),
+            "rise_time": dt, "fall_time": dt,
+        })(*_t0_and_centroid_sigma(t, m, s)),
+        lambda t, m, s, band: (lambda dt, ta, ma: {
+            "reference_time": (t.min() - 10 * ta, t.max() + 10 * ta),
+            "amplitude": (0.0, 20 * ma),
+            "rise_time": (dt / 100, 10 * ta),
+            "fall_time": (dt / 100, 10 * ta),
+        })(_t0_and_centroid_sigma(t, m, s)[1],
+           float(np.ptp(t)) or 1.0, float(np.ptp(m)) or 1.0)),
+    # bolometric.py:67-117
+    "sigmoid": _Term(
+        ("reference_time", "amplitude", "rise_time"),
+        ("time", "flux", "timescale"),
+        _sigmoid_bol,
+        lambda t, m, s, band: {
+            "reference_time": float(t[int(np.argmax(m))]),
+            "amplitude": float(np.ptp(m)) or 1.0,
+            "rise_time": 1.0,
+        },
+        lambda t, m, s, band: (lambda dt, ta, ma: {
+            "reference_time": (t.min() - 10 * ta, t.max() + 10 * ta),
+            "amplitude": (0.0, 20 * ma),
+            "rise_time": (dt / 100, 10 * ta),
+        })(_t0_and_centroid_sigma(t, m, s)[1],
+           float(np.ptp(t)) or 1.0, float(np.ptp(m)) or 1.0)),
+    # bolometric.py:256-315
+    "linexp": _Term(
+        ("reference_time", "amplitude", "rise_time"),
+        ("time", "flux", "timescale"),
+        _linexp_bol,
+        lambda t, m, s, band: (lambda peak, rise: {
+            "reference_time": peak + rise,
+            "amplitude": float(np.ptp(m)) or 1.0,
+            "rise_time": rise,
+        })(float(t[int(np.argmax(m))]),
+           (lambda r, peak: r if (peak - t[0]) >= (t[-1] - peak) else -r)(
+               100 * _median_dt(t, band), float(t[int(np.argmax(m))]))),
+        lambda t, m, s, band: (lambda ta, ma: {
+            "reference_time": (t.min() - 10 * ta, t.max() + 10 * ta),
+            "amplitude": (0.0, 10 * ma),
+            "rise_time": (-10 * ta, 10 * ta),
+        })(float(np.ptp(t)) or 1.0, float(np.ptp(m)) or 1.0)),
+}
+
+TEMPERATURE_TERMS: Dict[str, _Term] = {
+    # temperature.py:105-165
+    "sigmoid": _Term(
+        ("reference_time", "T", "T_amplitude", "t_color"),
+        ("time", None, None, "timescale"),
+        _sigmoid_temperature,
+        lambda t, m, s, band: {
+            "T": 10000.0, "T_amplitude": 0.0,
+            "t_color": 2 * _t0_and_centroid_sigma(t, m, s)[1],
+        },
+        lambda t, m, s, band: {
+            "T": (1e3, 2e6),
+            "T_amplitude": (-0.99, 0.99),
+            "t_color": (_t0_and_centroid_sigma(t, m, s)[1] / 3,
+                        10 * (float(np.ptp(t)) or 1.0)),
+        },
+        priors={"T_amplitude": (0.0, T_AMPLITUDE_PRIOR_SIGMA)}),
+    # temperature.py:53-91
+    "constant": _Term(
+        ("T",), (None,),
+        lambda t, temp: np.full(len(t), temp),
+        lambda t, m, s, band: {"T": 8000.0},
+        lambda t, m, s, band: {"T": (1e3, 2e6)}),
+}
+
+
+def rainbow_param_names(bolometric: str = "bazin",
+                        temperature: str = "sigmoid"):
+    """Composed parameter order (generic.py:108-132): shared names appear
+    once, bolometric first, then temperature-only names."""
+    bol = BOLOMETRIC_TERMS[bolometric]
+    temp = TEMPERATURE_TERMS[temperature]
+    return tuple(bol.names) + tuple(n for n in temp.names
+                                    if n not in bol.names)
+
+
 def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
                        with_baseline: bool = True, max_iter: int = 150,
-                       n_starts: int = 4):
+                       n_starts: int = 4, bolometric: str = "bazin",
+                       temperature: str = "sigmoid"):
     """Fit one multiband curve; returns the unscaled parameter vector
-    [RAINBOW_PARAM_NAMES..., baseline_{band}... (if with_baseline),
-    r_chisq].  Arrays must be time-sorted; band values must all appear in
-    band_wave_cm."""
+    [rainbow_param_names(bolometric, temperature)...,
+    baseline_{band}... (if with_baseline), r_chisq].  Arrays must be
+    time-sorted; band values must all appear in band_wave_cm."""
     t = np.asarray(t, float)
     m = np.asarray(m, float)
     sigma = np.asarray(sigma, float)
     band = np.asarray(band)
+    bol = BOLOMETRIC_TERMS[bolometric]
+    temp = TEMPERATURE_TERMS[temperature]
+    pnames = list(rainbow_param_names(bolometric, temperature))
+    bol_idx = [pnames.index(n) for n in bol.names]
+    temp_idx = [pnames.index(n) for n in temp.names]
+    scalings = {}
+    for term in (bol, temp):
+        scalings.update(dict(zip(term.names, term.scalings)))
     band_names = sorted(band_wave_cm)
-    n_par = len(RAINBOW_PARAM_NAMES) + (len(band_names) if with_baseline
-                                        else 0)
+    n_model = len(pnames)
+    n_par = n_model + (len(band_names) if with_baseline else 0)
     if len(t) <= n_par:
         raise ValueError("not enough points")
     wave_by_name = {b: float(band_wave_cm[b]) for b in band_names}
@@ -152,7 +299,8 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
     ms = (m - shift_arr) / m_scale
     ss = sigma / m_scale
 
-    # ---- initial guesses + limits (scaled space) ---------------------------
+    # ---- initial guesses + limits (scaled space; baseline-corrected data
+    # feeds the term guesses, _base.py:448-460) -----------------------------
     if with_baseline:
         base0 = {b: (float(np.median(ms[band == b]))
                      if (band == b).any() else 0.0) for b in band_names}
@@ -160,17 +308,17 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
     else:
         base0 = {}
         m_corr = ms
-    t0_0, dt0 = _t0_and_centroid_sigma(ts, m_corr, ss)
-    t_amp = float(np.ptp(ts)) or 1.0
-    m_amp = float(np.ptp(m_corr)) or 1.0
-    p0 = [t0_0, 1.5 * max(np.max(m_corr), m_amp), dt0, dt0,
-          10000.0, 0.0, 2 * dt0]
-    lower = [ts.min() - 10 * t_amp, 0.0, dt0 / 100, dt0 / 100,
-             1e3, -0.99, dt0 / 3]
-    upper = [ts.max() + 10 * t_amp, 20 * m_amp, 10 * t_amp, 10 * t_amp,
-             2e6, 0.99, 10 * t_amp]
-    priors = [LnPrior.none()] * 5 \
-        + [LnPrior.normal(0.0, T_AMPLITUDE_PRIOR_SIGMA), LnPrior.none()]
+    init = bol.init(ts, m_corr, ss, band)
+    init.update(temp.init(ts, m_corr, ss, band))
+    lims = bol.limits(ts, m_corr, ss, band)
+    lims.update(temp.limits(ts, m_corr, ss, band))
+    prior_by_name = dict(bol.priors)
+    prior_by_name.update(temp.priors)
+    p0 = [init[n] for n in pnames]
+    lower = [lims[n][0] for n in pnames]
+    upper = [lims[n][1] for n in pnames]
+    priors = [LnPrior.normal(*prior_by_name[n]) if n in prior_by_name
+              else LnPrior.none() for n in pnames]
     if with_baseline:
         for b in band_names:
             mb = ms[band == b]
@@ -185,28 +333,37 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
     p0 = np.asarray(p0, float)
     lower = np.asarray(lower, float)
     upper = np.asarray(upper, float)
-    base_idx = {b: len(RAINBOW_PARAM_NAMES) + i
-                for i, b in enumerate(band_names)} if with_baseline else {}
-    base_code = np.array([base_idx.get(b, -1) for b in band]) \
-        if with_baseline else None
+    base_idx = {b: n_model + i for i, b in enumerate(band_names)}         if with_baseline else {}
+    base_code = np.array([base_idx.get(b, -1) for b in band])         if with_baseline else None
 
     def model(x, *params):
-        f = rainbow_model(x, wave_cm, average_nu, *params[:7])
+        params = np.asarray(params)
+        bolv = bol.value(x, *params[bol_idx])
+        tempv = temp.value(x, *params[temp_idx])
+        norm = (SIGMA_SB * tempv ** 4) / math.pi / average_nu
+        f = _planck_nu(wave_cm, tempv) / norm * bolv
         if with_baseline:
-            f = f + np.asarray(params)[base_code]
+            f = f + params[base_code]
         return f
 
     w = ss ** -2.0
     # deterministic multi-start: the reference re-runs migrad/simplex up to
     # 10 times (_base.py:515-526); our LM instead restarts from jittered
-    # inits and keeps the best cost
+    # inits and keeps the best cost.  Jitters move the time-like init and
+    # scale the timescale-like inits.
+    _, dt0 = _t0_and_centroid_sigma(ts, m_corr, ss)
+    jit_time = [i for i, n in enumerate(pnames)
+                if scalings.get(n) == "time"]
+    jit_scale = [i for i, n in enumerate(pnames)
+                 if scalings.get(n) == "timescale" and n != "t_color"]
     best = None
     jitters = [(0.0, 1.0), (0.5, 0.5), (-0.5, 2.0), (1.0, 1.0)][:n_starts]
     for dt_j, w_j in jitters:
         pj = p0.copy()
-        pj[0] = np.clip(p0[0] + dt_j * dt0, lower[0], upper[0])
-        pj[2] = np.clip(p0[2] * w_j, lower[2], upper[2])
-        pj[3] = np.clip(p0[3] * w_j, lower[3], upper[3])
+        for i in jit_time:
+            pj[i] = np.clip(p0[i] + dt_j * dt0, lower[i], upper[i])
+        for i in jit_scale:
+            pj[i] = np.clip(p0[i] * w_j, lower[i], upper[i])
         p, chi2 = levenberg_marquardt(model, ts, ms, w, pj, lower, upper,
                                       max_iter=max_iter, ln_priors=priors)
         if best is None or chi2 < best[1]:
@@ -215,16 +372,19 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
 
     # ---- unscale (declared scalings; _base.py:202-231) ---------------------
     out = np.empty(n_par + 1)
-    out[0] = p[0] * t_scale + t_shift            # time
-    out[1] = p[1] * m_scale                      # flux
-    out[2] = p[2] * t_scale                      # timescale
-    out[3] = p[3] * t_scale                      # timescale
-    out[4] = p[4]                                # None (Kelvin)
-    out[5] = p[5]                                # None
-    out[6] = p[6] * t_scale                      # timescale
+    for i, n in enumerate(pnames):
+        rule = scalings.get(n)
+        if rule == "time":
+            out[i] = p[i] * t_scale + t_shift
+        elif rule == "timescale":
+            out[i] = p[i] * t_scale
+        elif rule == "flux":
+            out[i] = p[i] * m_scale
+        else:
+            out[i] = p[i]
     if with_baseline:
         for i, b in enumerate(band_names):
-            out[7 + i] = p[7 + i] * m_scale + band_shift[b]
+            out[n_model + i] = p[n_model + i] * m_scale + band_shift[b]
     out[-1] = 0.5 * chi2 / (len(t) - n_par)      # Minuit FCN convention
     return out
 
@@ -232,7 +392,8 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
 @_register("rainbow_fit")
 def _rainbow_factory(band_wave_cm: Optional[Dict[str, float]] = None,
                      with_baseline: bool = True,
-                     max_iter: int = 150) -> Kernel:
+                     max_iter: int = 150, bolometric: str = "bazin",
+                     temperature: str = "sigmoid") -> Kernel:
     """Kernel facade: the multiband arrays come pre-split per band in the
     engine's banded path, so this kernel is NOT dispatched through
     FeatureExtractor(bands=...) — use operators.spectral.rainbow_fit (joint
@@ -241,7 +402,7 @@ def _rainbow_factory(band_wave_cm: Optional[Dict[str, float]] = None,
     if band_wave_cm is None:
         raise ValueError("rainbow_fit requires band_wave_cm={band: cm}")
     band_names = sorted(band_wave_cm)
-    names = RAINBOW_PARAM_NAMES \
+    names = rainbow_param_names(bolometric, temperature) \
         + (tuple(f"baseline_{b}" for b in band_names) if with_baseline
            else ()) + ("r_chisq",)
     n_par = len(names) - 1
@@ -255,4 +416,6 @@ def _rainbow_factory(band_wave_cm: Optional[Dict[str, float]] = None,
                   min_obs=n_par + 1, needs_sigma=True,
                   params={"band_wave_cm": dict(band_wave_cm),
                           "with_baseline": with_baseline,
-                          "max_iter": max_iter})
+                          "max_iter": max_iter,
+                          "bolometric": bolometric,
+                          "temperature": temperature})

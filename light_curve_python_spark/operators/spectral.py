@@ -180,15 +180,17 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                 t_col: str = "t", m_col: str = "m", sigma_col: str = "sigma",
                 band_col: str = "band", with_baseline: bool = True,
                 fill_value: Optional[float] = float("nan"),
-                max_iter: int = 150, n_starts: int = 4) -> DataFrame:
+                max_iter: int = 150, n_starts: int = 4,
+                bolometric: str = "bazin",
+                temperature: str = "sigmoid") -> DataFrame:
     """Joint multiband RainbowFit per entity (default Bazin x sigmoid-T x
     Planck configuration; see functions/rainbow.py for semantics and
     documented divergences).  One output row per entity: the unscaled
     parameters + per-band baselines + r_chisq; failed/degenerate fits
     follow the engine's fill_value contract."""
-    from ..functions.rainbow import RAINBOW_PARAM_NAMES, rainbow_fit_arrays
+    from ..functions.rainbow import rainbow_fit_arrays, rainbow_param_names
     band_names = sorted(band_wave_cm)
-    names = list(RAINBOW_PARAM_NAMES)
+    names = list(rainbow_param_names(bolometric, temperature))
     if with_baseline:
         names += [f"baseline_{b}" for b in band_names]
     names += ["r_chisq"]
@@ -207,7 +209,8 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                     pdf[sigma_col].to_numpy(np.float64)[order],
                     pdf[band_col].to_numpy()[order], waves,
                     with_baseline=with_baseline, max_iter=max_iter,
-                    n_starts=n_starts)
+                    n_starts=n_starts, bolometric=bolometric,
+                    temperature=temperature)
             if not np.all(np.isfinite(vec)):
                 raise ValueError("non-finite fit")
         except (ValueError, KeyError, ZeroDivisionError, RuntimeError,

@@ -239,3 +239,69 @@ def test_rainbow_fit_fill_and_registry(spark):
     got = evaluate_kernel(k, np.arange(20.0), np.ones(20),
                           np.full(20, 0.1), fill_value=-1.0)
     assert (got == -1.0).all()
+
+
+def test_rainbow_term_registry_combinations():
+    """Non-default Rainbow term combos (bolometric.py sigmoid/linexp,
+    temperature.py constant): synthetic data generated from each composed
+    model must be recovered by the fit — the registry composes parameters
+    by shared name exactly like rainbow/generic.py:108-132."""
+    from light_curve_python_spark.functions.rainbow import (
+        BOLOMETRIC_TERMS,
+        TEMPERATURE_TERMS,
+        _planck_nu,
+        rainbow_fit_arrays,
+        rainbow_param_names,
+    )
+    import math
+
+    waves = {"g": 4770e-8, "r": 6231e-8}
+    avg_nu = 2.99792458e10 / np.mean(list(waves.values()))
+    rng = np.random.default_rng(7)
+    n = 220
+    t = np.sort(rng.uniform(0, 200, n))
+    band = rng.choice(["g", "r"], n)
+    wave_cm = np.array([waves[b] for b in band])
+
+    def synth(bolometric, temperature, bol_params, temp_params):
+        bol = BOLOMETRIC_TERMS[bolometric]
+        temp = TEMPERATURE_TERMS[temperature]
+        bolv = bol.value(t, *bol_params)
+        tempv = temp.value(t, *temp_params)
+        norm = 5.6703744191844314e-05 * tempv ** 4 / math.pi / avg_nu
+        return _planck_nu(wave_cm, tempv) / norm * bolv
+
+    # sigmoid bolometric x constant temperature (4 model params)
+    names = rainbow_param_names("sigmoid", "constant")
+    assert names == ("reference_time", "amplitude", "rise_time", "T")
+    flux = synth("sigmoid", "constant",
+                 (90.0, 6.0, 8.0), (7500.0,)) + np.where(band == "g",
+                                                         0.4, 0.1)
+    sigma = np.full(n, 0.02 * flux.max())
+    m = flux + sigma * rng.normal(size=n)
+    out = rainbow_fit_arrays(t, m, sigma, band, waves,
+                             bolometric="sigmoid", temperature="constant")
+    got = dict(zip(list(names) + ["baseline_g", "baseline_r", "r_chisq"],
+                   out))
+    assert got["reference_time"] == pytest.approx(90.0, abs=4.0)
+    assert got["amplitude"] == pytest.approx(6.0, rel=0.2)
+    assert got["rise_time"] == pytest.approx(8.0, rel=0.3)
+    assert got["T"] == pytest.approx(7500.0, rel=0.15)
+    assert got["r_chisq"] < 2.0
+
+    # linexp bolometric x sigmoid temperature (reference_time shared)
+    names = rainbow_param_names("linexp", "sigmoid")
+    assert names == ("reference_time", "amplitude", "rise_time",
+                     "T", "T_amplitude", "t_color")
+    flux = synth("linexp", "sigmoid",
+                 (150.0, 9.0, 40.0), (150.0, 9000.0, 0.2, 15.0))
+    flux = flux + np.where(band == "g", 0.3, 0.6)
+    sigma = np.full(n, 0.02 * flux.max())
+    m = flux + sigma * rng.normal(size=n)
+    out = rainbow_fit_arrays(t, m, sigma, band, waves,
+                             bolometric="linexp", temperature="sigmoid")
+    got = dict(zip(list(names) + ["baseline_g", "baseline_r", "r_chisq"],
+                   out))
+    assert got["reference_time"] == pytest.approx(150.0, abs=8.0)
+    assert got["T"] == pytest.approx(9000.0, rel=0.25)
+    assert got["r_chisq"] < 2.5
