@@ -30,14 +30,15 @@ reported chi2.
 The term registry mirrors the reference's composition rules
 (generic.py:108-132: parameters shared by name, ``reference_time`` common
 to the bolometric and sigmoid-temperature terms): bolometric in
-{bazin, sigmoid, linexp} (bolometric.py), temperature in
-{sigmoid, constant} (temperature.py), spectral = planck.
+{bazin, sigmoid, linexp, doublexp} (bolometric.py), temperature in
+{sigmoid, delayed_sigmoid, constant} (temperature.py), spectral = planck —
+the reference's full default term set.
 
 DOCUMENTED DIVERGENCES from the reference: the optimizer is the engine's
 pure-numpy Levenberg-Marquardt with deterministic multi-start (iminuit is
-unavailable in this environment); the doublexp bolometric, delayed-sigmoid
-temperature, blanketed-Planck spectral term, upper-limit Tobit likelihood,
-and Minuit error propagation are not implemented.
+unavailable in this environment); the blanketed-Planck spectral variant,
+upper-limit Tobit likelihood, and Minuit error propagation are not
+implemented.
 """
 
 from __future__ import annotations
@@ -152,6 +153,21 @@ def _linexp_bol(t, t0, amplitude, rise_time):
     return np.where(out > 0, out, 0.0)
 
 
+def _doublexp_bol(t, t0, amplitude, time1, time2, p):
+    """Symbolic-regression SNIa shape (bolometric.py:370-381):
+    amplitude * exp(-(dt/time1) * (p - exp(-dt/time2))), exponent clamped
+    at 20."""
+    dt = t - t0
+    a = -(dt / time1) * (p - np.exp(-(dt / time2)))
+    return amplitude * np.exp(np.minimum(a, 20.0))
+
+
+def _delayed_sigmoid_temperature(t, t0, T, T_amplitude, t_color, t_delay):
+    """Sigmoid temperature shifted by t_delay from the bolometric
+    reference (temperature.py:236-250)."""
+    return _sigmoid_temperature(t - t_delay, t0, T, T_amplitude, t_color)
+
+
 class _Term:
     """One pluggable model term: names/scalings/value plus data-driven
     initial guesses, box limits, and optional Gaussian priors — the
@@ -200,6 +216,24 @@ BOLOMETRIC_TERMS: Dict[str, _Term] = {
             "rise_time": (dt / 100, 10 * ta),
         })(_t0_and_centroid_sigma(t, m, s)[1],
            float(np.ptp(t)) or 1.0, float(np.ptp(m)) or 1.0)),
+    # bolometric.py:357-414
+    "doublexp": _Term(
+        ("reference_time", "amplitude", "time1", "time2", "p"),
+        ("time", "flux", "timescale", "timescale", None),
+        _doublexp_bol,
+        lambda t, m, s, band: (lambda t0, dt: {
+            "reference_time": t0,
+            "amplitude": max(float(np.max(m)), float(np.ptp(m)) or 1.0),
+            "time1": 2 * dt, "time2": 2 * dt, "p": 1.0,
+        })(*_t0_and_centroid_sigma(t, m, s)),
+        lambda t, m, s, band: (lambda dt, ta, ma: {
+            "reference_time": (t.min() - 10 * ta, t.max() + 10 * ta),
+            "amplitude": (0.0, 10 * ma),
+            "time1": (dt / 10, 2 * ta),
+            "time2": (dt / 10, 2 * ta),
+            "p": (1e-2, 100.0),
+        })(_t0_and_centroid_sigma(t, m, s)[1],
+           float(np.ptp(t)) or 1.0, float(np.ptp(m)) or 1.0)),
     # bolometric.py:256-315
     "linexp": _Term(
         ("reference_time", "amplitude", "rise_time"),
@@ -236,6 +270,27 @@ TEMPERATURE_TERMS: Dict[str, _Term] = {
                         10 * (float(np.ptp(t)) or 1.0)),
         },
         priors={"T_amplitude": (0.0, T_AMPLITUDE_PRIOR_SIGMA)}),
+    # temperature.py:203-284; t_delay carries a weak N(0,1) prior in
+    # scaled (light-curve-timescale) units like the reference
+    "delayed_sigmoid": _Term(
+        ("reference_time", "T", "T_amplitude", "t_color", "t_delay"),
+        ("time", None, None, "timescale", "timescale"),
+        _delayed_sigmoid_temperature,
+        lambda t, m, s, band: {
+            "T": 10000.0, "T_amplitude": 0.0,
+            "t_color": 2 * _t0_and_centroid_sigma(t, m, s)[1],
+            "t_delay": 0.0,
+        },
+        lambda t, m, s, band: {
+            "T": (1e3, 2e6),
+            "T_amplitude": (-0.99, 0.99),
+            "t_color": (_t0_and_centroid_sigma(t, m, s)[1] / 3,
+                        10 * (float(np.ptp(t)) or 1.0)),
+            "t_delay": (-(float(np.ptp(t)) or 1.0),
+                        float(np.ptp(t)) or 1.0),
+        },
+        priors={"T_amplitude": (0.0, T_AMPLITUDE_PRIOR_SIGMA),
+                "t_delay": (0.0, 1.0)}),
     # temperature.py:53-91
     "constant": _Term(
         ("T",), (None,),

@@ -305,3 +305,57 @@ def test_rainbow_term_registry_combinations():
     assert got["reference_time"] == pytest.approx(150.0, abs=8.0)
     assert got["T"] == pytest.approx(9000.0, rel=0.25)
     assert got["r_chisq"] < 2.5
+
+
+def test_rainbow_doublexp_and_delayed_sigmoid():
+    """Remaining registry terms: doublexp bolometric
+    (bolometric.py:357-414) and delayed-sigmoid temperature
+    (temperature.py:203-284, t_delay with the weak N(0,1) scaled prior)."""
+    from light_curve_python_spark.functions.rainbow import (
+        BOLOMETRIC_TERMS,
+        TEMPERATURE_TERMS,
+        _planck_nu,
+        rainbow_fit_arrays,
+        rainbow_param_names,
+    )
+    import math
+    waves = {"g": 4770e-8, "r": 6231e-8}
+    avg_nu = 2.99792458e10 / np.mean(list(waves.values()))
+    rng = np.random.default_rng(9)
+    n = 260
+    t = np.sort(rng.uniform(0, 200, n))
+    band = rng.choice(["g", "r"], n)
+    wave_cm = np.array([waves[b] for b in band])
+    names = rainbow_param_names("doublexp", "delayed_sigmoid")
+    assert names == ("reference_time", "amplitude", "time1", "time2", "p",
+                     "T", "T_amplitude", "t_color", "t_delay")
+    bol = BOLOMETRIC_TERMS["doublexp"].value(t, 70.0, 8.0, 30.0, 25.0, 2.0)
+    tempv = TEMPERATURE_TERMS["delayed_sigmoid"].value(
+        t, 70.0, 9000.0, 0.3, 12.0, 10.0)
+    norm = 5.6703744191844314e-05 * tempv ** 4 / math.pi / avg_nu
+    flux = _planck_nu(wave_cm, tempv) / norm * bol + 0.2
+    sigma = np.full(n, 0.02 * flux.max())
+    m = flux + sigma * rng.normal(size=n)
+    out = rainbow_fit_arrays(t, m, sigma, band, waves,
+                             bolometric="doublexp",
+                             temperature="delayed_sigmoid")
+    got = dict(zip(list(names) + ["baseline_g", "baseline_r", "r_chisq"],
+                   out))
+    # the doublexp parametrization is weakly identified (the reference
+    # itself flags unstable guesses for these SR-derived shapes), so the
+    # robust check is the RECONSTRUCTED model flux + goodness of fit, plus
+    # the physically pinned temperature
+    assert got["r_chisq"] < 3.0
+    assert got["T"] == pytest.approx(9000.0, rel=0.25)
+    fit_bol = BOLOMETRIC_TERMS["doublexp"].value(
+        t, got["reference_time"], got["amplitude"], got["time1"],
+        got["time2"], got["p"])
+    fit_temp = TEMPERATURE_TERMS["delayed_sigmoid"].value(
+        t, got["reference_time"], got["T"], got["T_amplitude"],
+        got["t_color"], got["t_delay"])
+    fit_norm = 5.6703744191844314e-05 * fit_temp ** 4 / math.pi / avg_nu
+    fit_flux = (_planck_nu(wave_cm, fit_temp) / fit_norm * fit_bol
+                + np.where(band == "g", got["baseline_g"],
+                           got["baseline_r"]))
+    resid = np.abs(fit_flux - flux)
+    assert np.quantile(resid, 0.9) < 4 * sigma[0]
