@@ -303,3 +303,50 @@ def test_exact_dedup_null_columns_distinct(spark):
     assert set(out.doc_id) == {0, 1}
     assert out[out.doc_id == 0].dup_count.iloc[0] == 2
     assert out[out.doc_id == 1].dup_count.iloc[0] == 1
+
+
+def test_embed_sequences_pipeline(spark):
+    """Embedding pipeline (reduction -> batched encoder -> L2-normalized
+    array<float>): deterministic under repartitioning and batch size,
+    mask-aware, and composable with the ANN operator."""
+    from light_curve_python_spark.datagen import generate_sequences
+    from light_curve_python_spark.operators.embed import (
+        embed_sequences,
+        random_projection_encoder,
+    )
+    from light_curve_python_spark.operators.similarity import cosine_topk
+
+    seqs = generate_sequences(spark, 30, seed=4).cache()
+    out = embed_sequences(seqs, seq_size=32, dim=16).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert set(out.columns) >= {"tokens", "embedding"}
+    embs = np.stack(out.embedding.to_numpy())
+    assert embs.shape == (30, 16)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, rtol=1e-5)
+    # deterministic under partitioning AND batch boundaries
+    out2 = embed_sequences(seqs.repartition(7), seq_size=32, dim=16,
+                           batch_size=3).toPandas() \
+        .set_index("doc_id").sort_index()
+    np.testing.assert_array_equal(
+        embs, np.stack(out2.embedding.to_numpy()))
+    # mask-aware: padding tokens must not affect the embedding — verify by
+    # computing the encoder on the true window only
+    enc = random_projection_encoder(dim=16)
+    pdf = seqs.toPandas().set_index("doc_id").sort_index()
+    first = out.index[0]
+    doc0 = np.asarray(pdf.loc[first, "tokens"])[:32]
+    seq = np.zeros((1, 32), dtype=np.int64)
+    seq[0, :len(doc0)] = doc0
+    mask = np.zeros((1, 32), dtype=bool)
+    mask[0, :len(doc0)] = True
+    want = enc(seq, mask)[0]
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(embs[0], want, rtol=1e-5)
+    # composes with ANN: self-similarity tops the list
+    edf = embed_sequences(seqs, seq_size=32, dim=16)
+    probe_ids = [str(i) for i in out.index[:2]]
+    probes = edf.filter(F.col("doc_id").cast("string").isin(probe_ids)) \
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    corpus = edf.select(F.col("doc_id").alias("vec_id"), "embedding")
+    nn = cosine_topk(corpus, probes, k=1).toPandas()
+    assert len(nn) == 2
