@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the point-in-time feature-extraction engine.
+
+Cluster usage (the north rule's packaging contract):
+
+    zip -r lcps.zip light_curve_python_spark
+    spark-submit --py-files lcps.zip scripts/submit_extract.py \\
+        --obs s3://bucket/observations/ --probes s3://bucket/probes/ \\
+        --output s3://bucket/features/ \\
+        --features amplitude stetson_k linear_fit otsu_split \\
+        --entity-col doc_id --ts-col ts --n-buckets 256 --resume
+
+The run is checkpointed per probe bucket (plans/checkpoint.py): lineage +
+rows/sec metrics land in ``<output>/_manifest.jsonl`` and a crashed or
+pre-empted job resumed with ``--resume`` recomputes only the in-flight
+bucket.  The extraction itself is the engine's standard zero-leakage PIT
+plan (operators/extract.py); hot-entity salting is exposed via
+``--salt-partitions/--hot-threshold``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--obs", required=True,
+                   help="parquet path: (entity, t, m[, sigma][, band])")
+    p.add_argument("--probes", required=True,
+                   help="parquet path: (entity, ts, payload columns...)")
+    p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument("--features", nargs="+", required=True,
+                   help="kernel registry keys (SURVEY.md §2.4)")
+    p.add_argument("--entity-col", default="doc_id")
+    p.add_argument("--t-col", default="t")
+    p.add_argument("--m-col", default="m")
+    p.add_argument("--sigma-col", default="sigma")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--horizon", type=float, default=None,
+                   help="range-window horizon: window = [ts-H, ts]")
+    p.add_argument("--fill-value", type=float, default=float("nan"))
+    p.add_argument("--salt-partitions", type=int, default=None)
+    p.add_argument("--hot-threshold", type=int, default=None)
+    p.add_argument("--n-buckets", type=int, default=256,
+                   help="checkpoint buckets (Iceberg bucket(N, entity))")
+    p.add_argument("--resume", action="store_true",
+                   help="skip buckets already committed in the manifest")
+    p.add_argument("--master", default=None,
+                   help="override master (default: cluster-provided)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    from light_curve_python_spark.plans.checkpoint import CheckpointedRun
+    from light_curve_python_spark.plans.spec import FeatureSpec
+    from light_curve_python_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="lcps-extract")
+    spec = FeatureSpec.of(*args.features, fill_value=args.fill_value)
+    ex = spec.to_extractor()
+    obs = spark.read.parquet(args.obs)
+    probes = spark.read.parquet(args.probes)
+
+    if not args.resume:
+        shutil.rmtree(args.output, ignore_errors=True)
+    run = CheckpointedRun(args.output, args.entity_col,
+                          n_buckets=args.n_buckets,
+                          spec_json=spec.to_json())
+
+    def compute(subset):
+        return ex.extract_point_in_time(
+            obs, subset, entity_col=args.entity_col, t_col=args.t_col,
+            m_col=args.m_col, sigma_col=args.sigma_col, ts_col=args.ts_col,
+            horizon=args.horizon, salt_partitions=args.salt_partitions,
+            hot_threshold=args.hot_threshold)
+
+    executed = run.run(probes, compute)
+    total = run.read(spark).count()
+    print(json.dumps({"buckets_executed": executed,
+                      "buckets_total": args.n_buckets,
+                      "rows": total, "output": args.output}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

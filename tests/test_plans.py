@@ -124,3 +124,36 @@ def test_feature_spec_roundtrips_priors_and_rainbow():
     ex = rt.to_extractor()
     bazin = ex.kernels[0]
     assert bazin.params["ln_prior"][1][0] == "normal"
+
+
+def test_submit_entrypoint_end_to_end(spark, tmp_path):
+    """scripts/submit_extract.py: the spark-submit CLI runs the
+    checkpointed PIT extraction end-to-end and resumes idempotently."""
+    import sys
+    sys.path.insert(0, "scripts")
+    import submit_extract
+
+    from light_curve_python_spark.datagen import (
+        generate_observations,
+        generate_probes,
+    )
+    obs_dir = str(tmp_path / "obs")
+    probes_dir = str(tmp_path / "probes")
+    out_dir = str(tmp_path / "features")
+    generate_observations(spark, 8, seed=3, n_obs_choices=(40,)) \
+        .write.parquet(obs_dir)
+    generate_probes(spark, 8, probes_per_entity=3, seed=3) \
+        .select("doc_id", "ts").write.parquet(probes_dir)
+    argv = ["--obs", obs_dir, "--probes", probes_dir, "--output", out_dir,
+            "--features", "mean", "amplitude", "--n-buckets", "4",
+            "--master", "local[4]"]
+    assert submit_extract.main(argv) == 0
+    got = spark.read.parquet(*[f"{out_dir}/bucket={b}" for b in range(4)])
+    assert got.count() == 24
+    assert {"mean", "amplitude"} <= set(got.columns)
+    # resume: nothing recomputed
+    assert submit_extract.main(argv + ["--resume"]) == 0
+    import json
+    with open(f"{out_dir}/_manifest.jsonl") as f:
+        entries = [json.loads(x) for x in f]
+    assert len(entries) == 4  # no duplicate commits after resume
