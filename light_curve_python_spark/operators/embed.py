@@ -26,7 +26,6 @@ from typing import Callable, Iterator, Optional
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .reductions import reduce_sequence
@@ -34,8 +33,10 @@ from .reductions import reduce_sequence
 __all__ = ["random_projection_encoder", "embed_sequences"]
 
 
-def random_projection_encoder(dim: int = 64, seed: int = 42,
-                              n_moments: int = 4) -> Callable:
+_N_POOLED = 5  # mean, std, min, max, coverage
+
+
+def random_projection_encoder(dim: int = 64, seed: int = 42) -> Callable:
     """Deterministic stand-in encoder (no onnxruntime in this container):
     per sequence, masked moment pooling (mean, std, min, max over the real
     positions, plus coverage) -> seeded Gaussian random projection to
@@ -43,7 +44,7 @@ def random_projection_encoder(dim: int = 64, seed: int = 42,
     only — independent of partitioning or batch boundaries."""
     def encode(seqs: np.ndarray, mask: np.ndarray) -> np.ndarray:
         rng = np.random.default_rng(seed)
-        proj = rng.normal(size=(n_moments + 1, dim)) / np.sqrt(dim)
+        proj = rng.normal(size=(_N_POOLED, dim)) / np.sqrt(dim)
         x = seqs.astype(np.float64)
         m = mask.astype(np.float64)
         cnt = np.maximum(m.sum(axis=1), 1.0)
@@ -71,7 +72,7 @@ def embed_sequences(df: DataFrame, tokens_col: str = "tokens",
     reduced = reduce_sequence(df, arr_col=tokens_col, seq_size=seq_size,
                               strategy=strategy, id_col=id_col,
                               out_col="_seq", mask_col="_mask")
-    pass_names = [c for c in df.columns]
+    pass_names = list(df.columns)
     schema = T.StructType(
         [df.schema[c] for c in pass_names]
         + [T.StructField(out_col, T.ArrayType(T.FloatType()), False)])

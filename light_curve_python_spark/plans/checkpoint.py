@@ -29,6 +29,18 @@ __all__ = ["CheckpointedRun"]
 class CheckpointedRun:
     def __init__(self, output_path: str, key_col: str, n_buckets: int = 16,
                  spec_json: Optional[str] = None):
+        scheme = output_path.split("://", 1)[0] if "://" in output_path \
+            else ""
+        if scheme not in ("", "file"):
+            # the manifest (and rmtree on restart) use local-fs I/O in this
+            # container; on a lake deployment the bucket column maps to an
+            # Iceberg bucket transform and the manifest to snapshot summary
+            # properties (module docstring) — reject object-store URIs
+            # instead of silently writing the manifest somewhere useless
+            raise ValueError(
+                f"output_path scheme {scheme!r} unsupported: point the "
+                "checkpointed run at a posix/shared-fs path (object-store "
+                "deployments use the Iceberg snapshot analog)")
         self.output_path = output_path
         self.key_col = key_col
         self.n_buckets = n_buckets
@@ -58,6 +70,7 @@ class CheckpointedRun:
         os.makedirs(self.output_path, exist_ok=True)
         entry = {
             "status": "committed", "bucket": bucket, "rows": rows,
+            "n_buckets": self.n_buckets,
             "seconds": round(seconds, 3),
             "rows_per_sec": round(rows / seconds, 1) if seconds > 0 else None,
             "ts": time.time(), "spec": self.spec_json, "key": self.key_col,
@@ -78,6 +91,32 @@ class CheckpointedRun:
 
     # ---- execution ---------------------------------------------------------
 
+    def _check_manifest_compatible(self):
+        """A resume with a different bucket count or feature spec would
+        silently drop/duplicate probes or mix schemas between buckets —
+        refuse instead."""
+        if not os.path.exists(self.manifest_path):
+            return
+        with open(self.manifest_path) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("n_buckets") is not None \
+                        and e["n_buckets"] != self.n_buckets:
+                    raise ValueError(
+                        f"manifest was written with n_buckets="
+                        f"{e['n_buckets']}, refusing to resume with "
+                        f"{self.n_buckets} (bucket ids would not match)")
+                if e.get("spec") is not None and self.spec_json is not None \
+                        and e["spec"] != self.spec_json:
+                    raise ValueError(
+                        "manifest was written with a different feature "
+                        "spec; resuming would mix output schemas — use a "
+                        "fresh output path")
+                return
+
     def bucket_col(self):
         return F.pmod(F.xxhash64(F.col(self.key_col)),
                       F.lit(self.n_buckets)).cast("int")
@@ -87,6 +126,7 @@ class CheckpointedRun:
         """Run ``compute`` over each not-yet-committed probe bucket; returns
         the buckets executed this call.  ``compute`` receives the bucket's
         probe subset and must return the finished DataFrame to persist."""
+        self._check_manifest_compatible()
         done = set(self.completed_buckets())
         tagged = probes.withColumn("_bucket", self.bucket_col())
         executed = []

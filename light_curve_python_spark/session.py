@@ -37,10 +37,19 @@ def get_spark(master: Optional[str] = None,
     # threading would oversubscribe the cores
     for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(v, "1")
-    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if master is None:
+        # under spark-submit/cluster managers spark.master is already set;
+        # only default to local[...] when the env pins a local run
+        # (tests/bench set SPARK_GRAFT_CPUS) so the CLI entrypoint never
+        # silently overrides the cluster master
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else None
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master).appName(app_name)
+        builder.appName(app_name)
         # Arrow batches between JVM and Python workers — the zero-copy path
         # that replaces the reference's PyO3 boundary (SURVEY.md §3.4)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

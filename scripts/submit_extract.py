@@ -5,12 +5,16 @@ Cluster usage (the north rule's packaging contract):
 
     zip -r lcps.zip light_curve_python_spark
     spark-submit --py-files lcps.zip scripts/submit_extract.py \\
-        --obs s3://bucket/observations/ --probes s3://bucket/probes/ \\
-        --output s3://bucket/features/ \\
+        --obs hdfs:///observations/ --probes hdfs:///probes/ \\
+        --output /mnt/shared/features \\
         --features amplitude stetson_k linear_fit otsu_split \\
         --entity-col doc_id --ts-col ts --n-buckets 256 --resume
 
-The run is checkpointed per probe bucket (plans/checkpoint.py): lineage +
+Input paths go through spark.read (any Hadoop-FS scheme); --output must be
+a posix/shared-fs path — the bucket manifest uses local file I/O
+(CheckpointedRun validates this; an Iceberg deployment replaces the
+manifest with snapshot summaries).  The run is checkpointed per probe
+bucket (plans/checkpoint.py): lineage +
 rows/sec metrics land in ``<output>/_manifest.jsonl`` and a crashed or
 pre-empted job resumed with ``--resume`` recomputes only the in-flight
 bucket.  The extraction itself is the engine's standard zero-leakage PIT
@@ -29,7 +33,8 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--obs", required=True,
-                   help="parquet path: (entity, t, m[, sigma][, band])")
+                   help="parquet path: (entity, t, m, sigma[, band]); "
+                        "pass --no-sigma for sigma-free tables")
     p.add_argument("--probes", required=True,
                    help="parquet path: (entity, ts, payload columns...)")
     p.add_argument("--output", required=True, help="output parquet path")
@@ -39,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t-col", default="t")
     p.add_argument("--m-col", default="m")
     p.add_argument("--sigma-col", default="sigma")
+    p.add_argument("--no-sigma", action="store_true",
+                   help="observations carry no sigma column (only "
+                        "sigma-free features allowed)")
     p.add_argument("--ts-col", default="ts")
     p.add_argument("--horizon", type=float, default=None,
                    help="range-window horizon: window = [ts-H, ts]")
@@ -56,7 +64,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from light_curve_python_spark.operators.extract import FeatureExtractor
     from light_curve_python_spark.plans.checkpoint import CheckpointedRun
     from light_curve_python_spark.plans.spec import FeatureSpec
     from light_curve_python_spark.session import get_spark
@@ -73,10 +80,12 @@ def main(argv=None) -> int:
                           n_buckets=args.n_buckets,
                           spec_json=spec.to_json())
 
+    sigma_col = None if args.no_sigma else args.sigma_col
+
     def compute(subset):
         return ex.extract_point_in_time(
             obs, subset, entity_col=args.entity_col, t_col=args.t_col,
-            m_col=args.m_col, sigma_col=args.sigma_col, ts_col=args.ts_col,
+            m_col=args.m_col, sigma_col=sigma_col, ts_col=args.ts_col,
             horizon=args.horizon, salt_partitions=args.salt_partitions,
             hot_threshold=args.hot_threshold)
 

@@ -157,3 +157,24 @@ def test_submit_entrypoint_end_to_end(spark, tmp_path):
     with open(f"{out_dir}/_manifest.jsonl") as f:
         entries = [json.loads(x) for x in f]
     assert len(entries) == 4  # no duplicate commits after resume
+
+
+def test_checkpoint_resume_guards(spark, tmp_path):
+    """Resuming with a different bucket count or feature spec must refuse
+    (silently dropping/duplicating probes otherwise); object-store output
+    paths are rejected up front."""
+    from light_curve_python_spark.datagen import generate_probes
+    from light_curve_python_spark.plans.checkpoint import CheckpointedRun
+    probes = generate_probes(spark, 6, probes_per_entity=2, seed=2) \
+        .select("doc_id", "ts")
+    out = str(tmp_path / "run2")
+    run = CheckpointedRun(out, "doc_id", n_buckets=4, spec_json='{"v":1}')
+    run.run(probes, lambda s: s.withColumn("f", F.col("ts")))
+    with pytest.raises(ValueError, match="n_buckets"):
+        CheckpointedRun(out, "doc_id", n_buckets=8, spec_json='{"v":1}') \
+            .run(probes, lambda s: s)
+    with pytest.raises(ValueError, match="different feature spec"):
+        CheckpointedRun(out, "doc_id", n_buckets=4, spec_json='{"v":2}') \
+            .run(probes, lambda s: s)
+    with pytest.raises(ValueError, match="scheme"):
+        CheckpointedRun("s3://bucket/features", "doc_id")
