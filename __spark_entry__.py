@@ -508,6 +508,32 @@ GROUP BY j.user_id, j.pts, j.props
 """
 
 
+def q_feat_nested(spark, sf_dir):
+    """Whole-entity stats through the NESTED input path: events are packed
+    into array<struct<t,m,sigma>> per user (the reference's Arrow
+    List<Struct> contract) and extracted with extract_nested — the DuckDB
+    twin computes the same features from the LONG format, so the oracle
+    pins nested == long end to end."""
+    ev = _ev(spark, sf_dir)
+    nested = (ev.groupBy("user_id")
+              .agg(F.collect_list(F.struct("t", "m", "sigma"))
+                   .alias("curve")))
+    ex = FeatureExtractor(["observation_count", "mean", "amplitude",
+                           "standard_deviation"])
+    return _round6(ex.extract_nested(nested))
+
+
+SQL_FEAT_NESTED = f"""
+WITH ev AS ({EV_SQL})
+SELECT user_id,
+  CAST(count(*) AS DOUBLE) AS observation_count,
+  ROUND(avg(m), 6) AS mean,
+  ROUND((max(m) - min(m)) / 2, 6) AS amplitude,
+  ROUND(stddev_samp(m), 6) AS standard_deviation
+FROM ev GROUP BY user_id
+"""
+
+
 PIT_HORIZON = 5.0  # days
 
 
@@ -1352,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_detection_counts": q_feat_detection_counts,
         "pit_features_kernel": q_pit_features_kernel,
         "pit_features_horizon": q_pit_features_horizon,
+        "feat_nested_input": q_feat_nested,
         "asof_join": q_asof_join,
         "lag_lead": q_lag_lead,
         "backfill_ffill": q_backfill,
@@ -1396,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "feat_detection_counts": SQL_DETECTION,
         "pit_features_kernel": SQL_PIT_FEATURES,
         "pit_features_horizon": SQL_PIT_HORIZON,
+        "feat_nested_input": SQL_FEAT_NESTED,
         "asof_join": SQL_ASOF,
         "lag_lead": SQL_LAG_LEAD,
         "backfill_ffill": SQL_BACKFILL,

@@ -263,3 +263,23 @@ def test_nan_probe_ts_sees_nothing(spark, data):
         assert len(nan_rows) == 3
         assert (nan_rows.observation_count == -7.0).all()
         assert (nan_rows["mean"] == -7.0).all()
+
+
+def test_salted_horizon_equals_unsalted(spark, data):
+    """Salting must be a pure physical-plan change on the HORIZON path too
+    (round 1 covered full-history windows): hot-entity probe splitting with
+    a range horizon yields identical features."""
+    obs, probes, _, _ = data
+    ex = FeatureExtractor(["observation_count", "mean", "maximum_slope"])
+    plain = ex.extract_point_in_time(
+        obs, probes, entity_col="doc_id", ts_col="ts",
+        horizon=100.0).toPandas().sort_values(["doc_id", "ts"]) \
+        .reset_index(drop=True)
+    salted = ex.extract_point_in_time(
+        obs, probes, entity_col="doc_id", ts_col="ts", horizon=100.0,
+        salt_partitions=4, hot_threshold=20).toPandas() \
+        .sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    for c in ex.names:
+        np.testing.assert_allclose(plain[c].to_numpy(float),
+                                   salted[c].to_numpy(float),
+                                   rtol=0, atol=0, equal_nan=True)
