@@ -62,6 +62,9 @@ BOLTZMAN_K = 1.380649e-16           # erg / K
 RAINBOW_PARAM_NAMES = ("reference_time", "amplitude", "rise_time",
                        "fall_time", "T", "T_amplitude", "t_color")
 T_AMPLITUDE_PRIOR_SIGMA = 0.25
+B_WIEN_AA_K = 28977720.0            # Wien displacement, Angstrom*K
+_BLANKET_INTENSITY = 100.0
+_BLANKET_MAX_EXTINCTION = 2.0 * B_WIEN_AA_K
 
 
 def _bazin_unit_peak(t, t0, amplitude, rise_time, fall_time):
@@ -300,22 +303,58 @@ TEMPERATURE_TERMS: Dict[str, _Term] = {
 }
 
 
+def _planck_spec(wave_cm, t_inst):
+    return _planck_nu(wave_cm, t_inst)
+
+
+def _blanketed_planck_spec(wave_cm, t_inst, t_ref, lambda_scale):
+    """Planck core at the instantaneous temperature, suppressed by UV
+    blanketing tau = I*exp(-lambda/lambda_s) whose reach is anchored to the
+    SHARED characteristic temperature t_ref (spectral.py:110-175: the
+    extinction depth must not vary as the source cools; 'T' is shared with
+    the temperature term via the common_temp_spec machinery, so the only
+    new fit parameter is lambda_scale)."""
+    base = _planck_nu(wave_cm, t_inst)
+    lambda_cm = _BLANKET_MAX_EXTINCTION * lambda_scale / t_ref * 1e-8
+    tau = _BLANKET_INTENSITY * np.exp(-wave_cm / lambda_cm)
+    return base * np.exp(-tau)
+
+
+SPECTRAL_TERMS: Dict[str, _Term] = {
+    # spectral.py:65-106 — no extra parameters
+    "planck": _Term((), (), _planck_spec,
+                    lambda t, m, s, band: {},
+                    lambda t, m, s, band: {}),
+    # spectral.py:110-186 — shares 'T' with the temperature term; only
+    # lambda_scale is new (init 0.001, box [0.001, 1.0])
+    "blanketed_planck": _Term(
+        ("T", "lambda_scale"), (None, None), _blanketed_planck_spec,
+        lambda t, m, s, band: {"lambda_scale": 0.001},
+        lambda t, m, s, band: {"lambda_scale": (0.001, 1.0)}),
+}
+
+
 def rainbow_param_names(bolometric: str = "bazin",
-                        temperature: str = "sigmoid"):
+                        temperature: str = "sigmoid",
+                        spectral: str = "planck"):
     """Composed parameter order (generic.py:108-132): shared names appear
-    once, bolometric first, then temperature-only names."""
+    once — bolometric first, then temperature-only, then spectral-only
+    names ('T' of blanketed_planck is shared with the temperature term)."""
     bol = BOLOMETRIC_TERMS[bolometric]
     temp = TEMPERATURE_TERMS[temperature]
-    return tuple(bol.names) + tuple(n for n in temp.names
-                                    if n not in bol.names)
+    spec = SPECTRAL_TERMS[spectral]
+    names = tuple(bol.names) + tuple(n for n in temp.names
+                                     if n not in bol.names)
+    return names + tuple(n for n in spec.names if n not in names)
 
 
 def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
                        with_baseline: bool = True, max_iter: int = 150,
                        n_starts: int = 4, bolometric: str = "bazin",
-                       temperature: str = "sigmoid"):
+                       temperature: str = "sigmoid",
+                       spectral: str = "planck"):
     """Fit one multiband curve; returns the unscaled parameter vector
-    [rainbow_param_names(bolometric, temperature)...,
+    [rainbow_param_names(bolometric, temperature, spectral)...,
     baseline_{band}... (if with_baseline), r_chisq].  Arrays must be
     time-sorted; band values must all appear in band_wave_cm."""
     t = np.asarray(t, float)
@@ -324,11 +363,13 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
     band = np.asarray(band)
     bol = BOLOMETRIC_TERMS[bolometric]
     temp = TEMPERATURE_TERMS[temperature]
-    pnames = list(rainbow_param_names(bolometric, temperature))
+    spec = SPECTRAL_TERMS[spectral]
+    pnames = list(rainbow_param_names(bolometric, temperature, spectral))
     bol_idx = [pnames.index(n) for n in bol.names]
     temp_idx = [pnames.index(n) for n in temp.names]
+    spec_idx = [pnames.index(n) for n in spec.names]
     scalings = {}
-    for term in (bol, temp):
+    for term in (bol, temp, spec):
         scalings.update(dict(zip(term.names, term.scalings)))
     band_names = sorted(band_wave_cm)
     n_model = len(pnames)
@@ -365,10 +406,13 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
         m_corr = ms
     init = bol.init(ts, m_corr, ss, band)
     init.update(temp.init(ts, m_corr, ss, band))
+    init.update(spec.init(ts, m_corr, ss, band))
     lims = bol.limits(ts, m_corr, ss, band)
     lims.update(temp.limits(ts, m_corr, ss, band))
+    lims.update(spec.limits(ts, m_corr, ss, band))
     prior_by_name = dict(bol.priors)
     prior_by_name.update(temp.priors)
+    prior_by_name.update(spec.priors)
     p0 = [init[n] for n in pnames]
     lower = [lims[n][0] for n in pnames]
     upper = [lims[n][1] for n in pnames]
@@ -396,7 +440,7 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
         bolv = bol.value(x, *params[bol_idx])
         tempv = temp.value(x, *params[temp_idx])
         norm = (SIGMA_SB * tempv ** 4) / math.pi / average_nu
-        f = _planck_nu(wave_cm, tempv) / norm * bolv
+        f = spec.value(wave_cm, tempv, *params[spec_idx]) / norm * bolv
         if with_baseline:
             f = f + params[base_code]
         return f
@@ -411,14 +455,25 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
                 if scalings.get(n) == "time"]
     jit_scale = [i for i, n in enumerate(pnames)
                  if scalings.get(n) == "timescale" and n != "t_color"]
+    # spectral-only params (e.g. blanketed lambda_scale) have a FLAT
+    # numerical gradient near their floor (tau underflows to exactly 0),
+    # so the starts sweep them geometrically across the box instead of
+    # re-using the data-driven init
+    spec_only = [i for i in spec_idx
+                 if pnames[i] not in bol.names
+                 and pnames[i] not in temp.names]
     best = None
     jitters = [(0.0, 1.0), (0.5, 0.5), (-0.5, 2.0), (1.0, 1.0)][:n_starts]
-    for dt_j, w_j in jitters:
+    for k_start, (dt_j, w_j) in enumerate(jitters):
         pj = p0.copy()
         for i in jit_time:
             pj[i] = np.clip(p0[i] + dt_j * dt0, lower[i], upper[i])
         for i in jit_scale:
             pj[i] = np.clip(p0[i] * w_j, lower[i], upper[i])
+        for i in spec_only:
+            if lower[i] > 0:
+                grid = np.geomspace(lower[i], upper[i], len(jitters))
+                pj[i] = grid[k_start]
         p, chi2 = levenberg_marquardt(model, ts, ms, w, pj, lower, upper,
                                       max_iter=max_iter, ln_priors=priors)
         if best is None or chi2 < best[1]:
@@ -448,7 +503,8 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
 def _rainbow_factory(band_wave_cm: Optional[Dict[str, float]] = None,
                      with_baseline: bool = True,
                      max_iter: int = 150, bolometric: str = "bazin",
-                     temperature: str = "sigmoid") -> Kernel:
+                     temperature: str = "sigmoid",
+                     spectral: str = "planck") -> Kernel:
     """Kernel facade: the multiband arrays come pre-split per band in the
     engine's banded path, so this kernel is NOT dispatched through
     FeatureExtractor(bands=...) — use operators.spectral.rainbow_fit (joint
@@ -457,7 +513,7 @@ def _rainbow_factory(band_wave_cm: Optional[Dict[str, float]] = None,
     if band_wave_cm is None:
         raise ValueError("rainbow_fit requires band_wave_cm={band: cm}")
     band_names = sorted(band_wave_cm)
-    names = rainbow_param_names(bolometric, temperature) \
+    names = rainbow_param_names(bolometric, temperature, spectral) \
         + (tuple(f"baseline_{b}" for b in band_names) if with_baseline
            else ()) + ("r_chisq",)
     n_par = len(names) - 1
@@ -473,4 +529,5 @@ def _rainbow_factory(band_wave_cm: Optional[Dict[str, float]] = None,
                           "with_baseline": with_baseline,
                           "max_iter": max_iter,
                           "bolometric": bolometric,
-                          "temperature": temperature})
+                          "temperature": temperature,
+                          "spectral": spectral})

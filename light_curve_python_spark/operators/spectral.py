@@ -182,7 +182,8 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                 fill_value: Optional[float] = float("nan"),
                 max_iter: int = 150, n_starts: int = 4,
                 bolometric: str = "bazin",
-                temperature: str = "sigmoid") -> DataFrame:
+                temperature: str = "sigmoid",
+                spectral: str = "planck") -> DataFrame:
     """Joint multiband RainbowFit per entity (default Bazin x sigmoid-T x
     Planck configuration; see functions/rainbow.py for semantics and
     documented divergences).  One output row per entity: the unscaled
@@ -190,7 +191,7 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
     follow the engine's fill_value contract."""
     from ..functions.rainbow import rainbow_fit_arrays, rainbow_param_names
     band_names = sorted(band_wave_cm)
-    names = list(rainbow_param_names(bolometric, temperature))
+    names = list(rainbow_param_names(bolometric, temperature, spectral))
     if with_baseline:
         names += [f"baseline_{b}" for b in band_names]
     names += ["r_chisq"]
@@ -210,7 +211,7 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                     pdf[band_col].to_numpy()[order], waves,
                     with_baseline=with_baseline, max_iter=max_iter,
                     n_starts=n_starts, bolometric=bolometric,
-                    temperature=temperature)
+                    temperature=temperature, spectral=spectral)
             if not np.all(np.isfinite(vec)):
                 raise ValueError("non-finite fit")
         except (ValueError, KeyError, ZeroDivisionError, RuntimeError,

@@ -359,3 +359,55 @@ def test_rainbow_doublexp_and_delayed_sigmoid():
                            got["baseline_r"]))
     resid = np.abs(fit_flux - flux)
     assert np.quantile(resid, 0.9) < 4 * sigma[0]
+
+
+def test_rainbow_blanketed_planck():
+    """Blanketed Planck (spectral.py:110-186): UV extinction anchored to
+    the SHARED characteristic T; the only new fit parameter is
+    lambda_scale.  Strongly blanketed synthetic data must be fit better
+    (and with a clearly raised lambda_scale) than the plain-Planck model
+    allows."""
+    from light_curve_python_spark.functions.rainbow import (
+        BOLOMETRIC_TERMS,
+        SPECTRAL_TERMS,
+        TEMPERATURE_TERMS,
+        rainbow_fit_arrays,
+        rainbow_param_names,
+    )
+    import math
+    names = rainbow_param_names("bazin", "constant", "blanketed_planck")
+    assert names == ("reference_time", "amplitude", "rise_time",
+                     "fall_time", "T", "lambda_scale")
+    # UV band (u ~ 3600A) + optical: blanketing hits the blue side hard
+    waves = {"u": 3600e-8, "g": 4770e-8, "r": 6231e-8}
+    avg_nu = 2.99792458e10 / np.mean(list(waves.values()))
+    rng = np.random.default_rng(11)
+    n = 240
+    t = np.sort(rng.uniform(0, 200, n))
+    band = rng.choice(["u", "g", "r"], n)
+    wave_cm = np.array([waves[b] for b in band])
+    # tau ~ O(1) in u needs lambda_scale ~ 0.1 at T=8000 (intensity 100)
+    true_ls = 0.10
+    bol = BOLOMETRIC_TERMS["bazin"].value(t, 80.0, 10.0, 6.0, 22.0)
+    tempv = TEMPERATURE_TERMS["constant"].value(t, 8000.0)
+    norm = 5.6703744191844314e-05 * tempv ** 4 / math.pi / avg_nu
+    spec = SPECTRAL_TERMS["blanketed_planck"].value(
+        wave_cm, tempv, 8000.0, true_ls)
+    flux = spec / norm * bol + 0.2
+    sigma = np.full(n, 0.02 * flux.max())
+    m = flux + sigma * rng.normal(size=n)
+    out = rainbow_fit_arrays(t, m, sigma, band, waves,
+                             bolometric="bazin", temperature="constant",
+                             spectral="blanketed_planck")
+    got = dict(zip(list(names) + ["baseline_g", "baseline_r", "baseline_u",
+                                  "r_chisq"], out))
+    assert got["r_chisq"] < 2.0
+    assert got["lambda_scale"] == pytest.approx(true_ls, rel=0.3)
+    assert got["T"] == pytest.approx(8000.0, rel=0.2)
+    # plain Planck cannot explain the suppressed u band as well (a cooler
+    # T + per-band baselines absorb part of it, so the gap is moderate)
+    out_plain = rainbow_fit_arrays(t, m, sigma, band, waves,
+                                   bolometric="bazin",
+                                   temperature="constant",
+                                   spectral="planck")
+    assert out_plain[-1] > 1.2 * got["r_chisq"]
