@@ -31,7 +31,13 @@ class CheckpointedRun:
                  spec_json: Optional[str] = None):
         scheme = output_path.split("://", 1)[0] if "://" in output_path \
             else ""
-        if scheme not in ("", "file"):
+        if scheme == "file":
+            # manifest I/O uses plain os.path/open: keep the posix path so
+            # Python and Spark agree on where the run lives ('file:///x'
+            # would otherwise become a literal './file:/x' manifest dir)
+            from urllib.parse import urlparse
+            output_path = urlparse(output_path).path
+        elif scheme:
             # the manifest (and rmtree on restart) use local-fs I/O in this
             # container; on a lake deployment the bucket column maps to an
             # Iceberg bucket transform and the manifest to snapshot summary

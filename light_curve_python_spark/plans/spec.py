@@ -35,6 +35,14 @@ class FeatureSpec:
             ensure_lazy_factories(f["name"])
             if f["name"] not in KERNEL_FACTORIES:
                 raise ValueError(f"unknown feature: {f['name']}")
+            # resolve the fast/direct choice at construction time so the
+            # serialized spec always pins the evaluator explicitly: a fresh
+            # spec round-trips to itself (fast=True, the factory default)
+            # while a pre-upgrade manifest string (no "fast" key) stays
+            # distinguishable and is pinned to the direct evaluator in
+            # from_json — _check_manifest_compatible then refuses to mix them
+            if f["name"] == "periodogram" and "fast" not in f["params"]:
+                f["params"]["fast"] = True
 
     # ---- construction ------------------------------------------------------
 

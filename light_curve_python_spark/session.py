@@ -43,7 +43,15 @@ def get_spark(master: Optional[str] = None,
         # (tests/bench set SPARK_GRAFT_CPUS) so the CLI entrypoint never
         # silently overrides the cluster master
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{cpus}]" if cpus else None
+        if cpus:
+            master = f"local[{cpus}]"
+        elif "PYSPARK_GATEWAY_PORT" not in os.environ \
+                and "SPARK_MASTER" not in os.environ \
+                and "MASTER" not in os.environ:
+            # plain `python script.py` (no spark-submit gateway, no master
+            # env): getOrCreate would fail with "master URL must be set" —
+            # keep the interactive default
+            master = "local[*]"
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = SparkSession.builder
     if master is not None:
