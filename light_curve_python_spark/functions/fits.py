@@ -30,8 +30,8 @@ import numpy as np
 
 from .kernels import Kernel, _register
 
-__all__ = ["levenberg_marquardt", "bazin_model", "villar_model",
-           "linexp_model", "LnPrior"]
+__all__ = ["levenberg_marquardt", "norm_logcdf", "bazin_model",
+           "villar_model", "linexp_model", "LnPrior"]
 
 
 class LnPrior:
@@ -131,22 +131,55 @@ class LnPrior:
         raise ValueError(f"unknown prior kind: {k}")
 
 
+def norm_logcdf(x: np.ndarray) -> np.ndarray:
+    """ln Phi(x), the reference's piecewise form (minuit_ml.py:180-191):
+    asymptotic series in the far left tail (x < -5, where erf-based
+    evaluation loses precision/underflows), ln(0.5) + log1p(erf(x/sqrt2))
+    elsewhere.  Pure numpy (the engine's Cody erf stands in for
+    scipy.special.erf)."""
+    from .special import erf
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    left = x < -5.0
+    xl = x[left]
+    out[left] = -xl ** 2 / 2.0 - 1.0 / xl ** 2 - 0.9189385336 \
+        - np.log(-xl)
+    xr = x[~left]
+    out[~left] = math.log(0.5) + np.log1p(erf(xr / math.sqrt(2.0)))
+    return out
+
+
 def levenberg_marquardt(model: Callable, t: np.ndarray, m: np.ndarray,
                         w: np.ndarray, p0: np.ndarray,
                         lower: np.ndarray, upper: np.ndarray,
                         max_iter: int = 100, ftol: float = 1e-10,
                         ptol: float = 1e-10,
-                        ln_priors: Optional[Sequence["LnPrior"]] = None
+                        ln_priors: Optional[Sequence["LnPrior"]] = None,
+                        upper_mask: Optional[np.ndarray] = None
                         ) -> Tuple[np.ndarray, float]:
     """Minimize sum(w * (model(t, p) - m)^2) - 2*sum(ln_prior_i(p_i)) (MAP
     when priors given, plain weighted least squares otherwise); returns
     (params, DATA chi2 — the penalty steers the optimum but is not
-    reported)."""
+    reported).
+
+    ``upper_mask`` marks censored observations (upper limits): those rows
+    contribute the Tobit term -ln Phi((m - f)/sigma) to the negative log
+    likelihood instead of the Gaussian z^2/2 (reference minuit_ml.py:
+    114-128).  Implemented as the square-root residual transform
+    r = sqrt(2 * (-ln Phi(z))): sum(r^2) then equals 2*NLL for both row
+    kinds (a detection's r stays the plain weighted residual), so the
+    same LM normal equations minimize the mixed likelihood and the
+    returned "chi2" remains 2*NLL_data on the shared scale."""
     p = np.clip(np.asarray(p0, dtype=np.float64), lower, upper)
     sw = np.sqrt(w)
 
     def residuals(params):
-        return sw * (model(t, *params) - m)
+        r = sw * (model(t, *params) - m)
+        if upper_mask is not None:
+            # z = (limit - model)/sigma = -r on censored rows
+            nll = -norm_logcdf(-r[upper_mask])
+            r[upper_mask] = np.sqrt(np.maximum(2.0 * nll, 0.0))
+        return r
 
     def penalty(params) -> float:
         if ln_priors is None:

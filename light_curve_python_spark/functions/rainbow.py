@@ -31,13 +31,13 @@ The term registry mirrors the reference's composition rules
 (generic.py:108-132: parameters shared by name, ``reference_time`` common
 to the bolometric and sigmoid-temperature terms): bolometric in
 {bazin, sigmoid, linexp, doublexp} (bolometric.py), temperature in
-{sigmoid, delayed_sigmoid, constant} (temperature.py), spectral = planck —
-the reference's full default term set.
+{sigmoid, delayed_sigmoid, constant} (temperature.py), spectral in
+{planck, blanketed, genwien, modified_bb, logparabola} (spectral.py:
+472-478) — the reference's full term registry.
 
 DOCUMENTED DIVERGENCES from the reference: the optimizer is the engine's
 pure-numpy Levenberg-Marquardt with deterministic multi-start (iminuit is
-unavailable in this environment); the blanketed-Planck spectral variant,
-upper-limit Tobit likelihood, and Minuit error propagation are not
+unavailable in this environment), and Minuit error propagation is not
 implemented.
 """
 
@@ -320,17 +320,75 @@ def _blanketed_planck_spec(wave_cm, t_inst, t_ref, lambda_scale):
     return base * np.exp(-tau)
 
 
+_SPEC_WAVE_REF_CM = 6000e-8   # spectral.py reference wavelength (~mid-optical)
+
+
+def _genwien_spec(wave_cm, t_inst, spec_k):
+    """Generalized-Wien SED nu^3 exp(-x^spec_k) (spectral.py:236-322):
+    spec_k ~ 1 is the Wien/Planck-like tail, spec_k > 1 sharpens the blue
+    cutoff.  (T, spec_k) trade off, so T is an SED-shape feature, not a
+    thermodynamic temperature; a N(1, 0.5) prior anchors spec_k where the
+    data don't constrain it."""
+    nu = SPEED_OF_LIGHT / np.asarray(wave_cm)
+    x = PLANCK_H * nu / (BOLTZMAN_K * t_inst)
+    return (2.0 * PLANCK_H / SPEED_OF_LIGHT ** 2) * nu ** 3 \
+        * np.exp(-np.power(x, spec_k))
+
+
+def _modified_bb_spec(wave_cm, t_inst, beta):
+    """Modified blackbody: Planck tilted by (lambda/lambda_ref)^beta
+    (spectral.py:325-397).  beta = 0 is exactly Planck; beta > 0 is a
+    gentle UV deficit; beta < 0 with a hot (Rayleigh-Jeans) Planck core
+    gives a power-law SED F_nu ~ nu^(2-beta).  A weak N(0, 1) prior stops
+    the beta/T runaway on genuinely non-blackbody SEDs."""
+    return _planck_nu(wave_cm, t_inst) \
+        * np.power(np.asarray(wave_cm) / _SPEC_WAVE_REF_CM, beta)
+
+
+def _logparabola_spec(wave_cm, t_inst, sp_a, sp_b):
+    """Log-parabola tilt+curvature of the Planck core,
+    exp(a*L + b*L^2) with L = ln(lambda/lambda_ref) (spectral.py:400-469):
+    the most flexible deviation term (captures the sharpest blue cutoffs);
+    N(0, 0.5) priors on both parameters break the blackbody degeneracy."""
+    ell = np.log(np.asarray(wave_cm) / _SPEC_WAVE_REF_CM)
+    return _planck_nu(wave_cm, t_inst) * np.exp(sp_a * ell
+                                                + sp_b * ell * ell)
+
+
+_BLANKETED_TERM = _Term(
+    # spectral.py:110-232 — shares 'T' with the temperature term; only
+    # lambda_scale is new (init 0.001, box [0.001, 1.0])
+    ("T", "lambda_scale"), (None, None), _blanketed_planck_spec,
+    lambda t, m, s, band: {"lambda_scale": 0.001},
+    lambda t, m, s, band: {"lambda_scale": (0.001, 1.0)})
+
 SPECTRAL_TERMS: Dict[str, _Term] = {
     # spectral.py:65-106 — no extra parameters
     "planck": _Term((), (), _planck_spec,
                     lambda t, m, s, band: {},
                     lambda t, m, s, band: {}),
-    # spectral.py:110-186 — shares 'T' with the temperature term; only
-    # lambda_scale is new (init 0.001, box [0.001, 1.0])
-    "blanketed_planck": _Term(
-        ("T", "lambda_scale"), (None, None), _blanketed_planck_spec,
-        lambda t, m, s, band: {"lambda_scale": 0.001},
-        lambda t, m, s, band: {"lambda_scale": (0.001, 1.0)}),
+    # reference registry key (spectral.py:472-478) + the engine's
+    # historical alias
+    "blanketed": _BLANKETED_TERM,
+    "blanketed_planck": _BLANKETED_TERM,
+    # spectral.py:236-322
+    "genwien": _Term(
+        ("spec_k",), (None,), _genwien_spec,
+        lambda t, m, s, band: {"spec_k": 1.0},
+        lambda t, m, s, band: {"spec_k": (0.3, 3.0)},
+        priors={"spec_k": (1.0, 0.5)}),
+    # spectral.py:325-397
+    "modified_bb": _Term(
+        ("beta",), (None,), _modified_bb_spec,
+        lambda t, m, s, band: {"beta": 0.0},
+        lambda t, m, s, band: {"beta": (-6.0, 10.0)},
+        priors={"beta": (0.0, 1.0)}),
+    # spectral.py:400-469
+    "logparabola": _Term(
+        ("sp_a", "sp_b"), (None, None), _logparabola_spec,
+        lambda t, m, s, band: {"sp_a": 0.0, "sp_b": 0.0},
+        lambda t, m, s, band: {"sp_a": (-6.0, 6.0), "sp_b": (-4.0, 4.0)},
+        priors={"sp_a": (0.0, 0.5), "sp_b": (0.0, 0.5)}),
 }
 
 
@@ -352,15 +410,30 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
                        with_baseline: bool = True, max_iter: int = 150,
                        n_starts: int = 4, bolometric: str = "bazin",
                        temperature: str = "sigmoid",
-                       spectral: str = "planck"):
+                       spectral: str = "planck",
+                       upper_mask: Optional[np.ndarray] = None):
     """Fit one multiband curve; returns the unscaled parameter vector
     [rainbow_param_names(bolometric, temperature, spectral)...,
     baseline_{band}... (if with_baseline), r_chisq].  Arrays must be
-    time-sorted; band values must all appear in band_wave_cm."""
+    time-sorted; band values must all appear in band_wave_cm.
+
+    ``upper_mask`` marks non-detections: ``m`` there is the upper-limit
+    flux and the row enters the cost as the censored Tobit likelihood
+    -ln Phi((limit - model)/sigma) instead of a squared residual — the
+    reference's MaximumLikelihood upper_mask contract (minuit_ml.py:
+    114-128 via _base.py:424-430).  r_chisq keeps the Minuit FCN
+    convention (NLL / dof), which reduces to 0.5*chi2/dof when no point
+    is censored."""
     t = np.asarray(t, float)
     m = np.asarray(m, float)
     sigma = np.asarray(sigma, float)
     band = np.asarray(band)
+    if upper_mask is not None:
+        upper_mask = np.asarray(upper_mask, bool)
+        if upper_mask.shape != t.shape:
+            raise ValueError("upper_mask must align with t/m/sigma")
+        if not upper_mask.any():
+            upper_mask = None
     bol = BOLOMETRIC_TERMS[bolometric]
     temp = TEMPERATURE_TERMS[temperature]
     spec = SPECTRAL_TERMS[spectral]
@@ -455,10 +528,12 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
                 if scalings.get(n) == "time"]
     jit_scale = [i for i, n in enumerate(pnames)
                  if scalings.get(n) == "timescale" and n != "t_color"]
-    # spectral-only params (e.g. blanketed lambda_scale) have a FLAT
-    # numerical gradient near their floor (tau underflows to exactly 0),
-    # so the starts sweep them geometrically across the box instead of
-    # re-using the data-driven init
+    # spectral-only params whose init SITS ON the positive floor (e.g.
+    # blanketed lambda_scale = lower = 0.001) have a FLAT numerical
+    # gradient there (tau underflows to exactly 0), so the starts sweep
+    # them geometrically across the box; deviation terms anchored at an
+    # interior value (genwien spec_k=1, modified_bb beta=0, logparabola
+    # 0/0) keep their prior-anchored init in every start
     spec_only = [i for i in spec_idx
                  if pnames[i] not in bol.names
                  and pnames[i] not in temp.names]
@@ -471,11 +546,12 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
         for i in jit_scale:
             pj[i] = np.clip(p0[i] * w_j, lower[i], upper[i])
         for i in spec_only:
-            if lower[i] > 0:
+            if lower[i] > 0 and p0[i] <= lower[i] * (1.0 + 1e-9):
                 grid = np.geomspace(lower[i], upper[i], len(jitters))
                 pj[i] = grid[k_start]
         p, chi2 = levenberg_marquardt(model, ts, ms, w, pj, lower, upper,
-                                      max_iter=max_iter, ln_priors=priors)
+                                      max_iter=max_iter, ln_priors=priors,
+                                      upper_mask=upper_mask)
         if best is None or chi2 < best[1]:
             best = (p, chi2)
     p, chi2 = best

@@ -183,12 +183,18 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                 max_iter: int = 150, n_starts: int = 4,
                 bolometric: str = "bazin",
                 temperature: str = "sigmoid",
-                spectral: str = "planck") -> DataFrame:
+                spectral: str = "planck",
+                upper_limit_col: Optional[str] = None) -> DataFrame:
     """Joint multiband RainbowFit per entity (default Bazin x sigmoid-T x
     Planck configuration; see functions/rainbow.py for semantics and
     documented divergences).  One output row per entity: the unscaled
     parameters + per-band baselines + r_chisq; failed/degenerate fits
-    follow the engine's fill_value contract."""
+    follow the engine's fill_value contract.
+
+    ``upper_limit_col`` names an optional boolean column marking
+    non-detections: their ``m`` is the upper-limit flux and they enter the
+    fit through the censored Tobit likelihood (reference minuit_ml.py:
+    114-128) instead of as fake measurements."""
     from ..functions.rainbow import rainbow_fit_arrays, rainbow_param_names
     band_names = sorted(band_wave_cm)
     names = list(rainbow_param_names(bolometric, temperature, spectral))
@@ -203,6 +209,8 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         t = pdf[t_col].to_numpy(np.float64)
         order = np.argsort(t, kind="mergesort")
+        mask = (pdf[upper_limit_col].to_numpy(bool)[order]
+                if upper_limit_col is not None else None)
         try:
             with np.errstate(all="ignore"):
                 vec = rainbow_fit_arrays(
@@ -211,7 +219,8 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                     pdf[band_col].to_numpy()[order], waves,
                     with_baseline=with_baseline, max_iter=max_iter,
                     n_starts=n_starts, bolometric=bolometric,
-                    temperature=temperature, spectral=spectral)
+                    temperature=temperature, spectral=spectral,
+                    upper_mask=mask)
             if not np.all(np.isfinite(vec)):
                 raise ValueError("non-finite fit")
         except (ValueError, KeyError, ZeroDivisionError, RuntimeError,
@@ -223,5 +232,8 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
         row.update({n: [v] for n, v in zip(names, vec)})
         return pd.DataFrame(row)
 
-    return (obs.select(entity_col, t_col, m_col, sigma_col, band_col)
+    cols = [entity_col, t_col, m_col, sigma_col, band_col]
+    if upper_limit_col is not None:
+        cols.append(upper_limit_col)
+    return (obs.select(*cols)
             .groupBy(entity_col).applyInPandas(fn, schema))
