@@ -204,6 +204,16 @@ def _headline_queries(spark, obs_path, probes_path):
         ex = FeatureExtractor([("periodogram", {"peaks": 1})])
         return ex.extract(obs)
 
+    def multiband_periodogram_all(s):
+        # joint two-band LS on the shared auto grid — the per-band powers
+        # now ride the same Press-Rybicki fast evaluator as the
+        # single-band kernel (r2 verdict: the direct per-band sums were
+        # the remaining O(n*n_f) scale-killer)
+        from light_curve_python_spark.operators.spectral import (
+            multiband_periodogram)
+        obs = s.read.parquet(obs_path)
+        return multiband_periodogram(obs, ["g", "r"], peaks=1)
+
     def minhash_production(s):
         from light_curve_python_spark.operators.dedup import (
             minhash_signatures)
@@ -225,6 +235,7 @@ def _headline_queries(spark, obs_path, probes_path):
     return {
         "pit_extract_full_battery": pit_full,
         "periodogram_all_curves": periodogram_all_curves,
+        "multiband_periodogram": multiband_periodogram_all,
         "sql_feat_dispersion": lambda s: E.q_feat_dispersion(s, SF_DIR),
         "feat_quantiles_kernel": feat_quantiles_kernel,
         "asof_join_events": lambda s: E.q_asof_join(s, SF_DIR),

@@ -60,15 +60,24 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
                           band_col: str = "band", peaks: int = 1,
                           resolution: float = 10.0,
                           max_freq_factor: float = 1.0,
-                          weighting: str = "chi2") -> DataFrame:
+                          weighting: str = "chi2",
+                          fast: bool = True) -> DataFrame:
     """Multiband Lomb-Scargle (src/features.rs:4219-4227, :4513-4543):
     per-band standardized powers on a shared frequency grid (grid from the
     full multi-band time sampling), combined as a weighted mean with weights
     'chi2' (per-band Σ((m-m̄)/σ)²) or 'count' (per-band n) — a textbook
     partial/final aggregate.  Outputs peak periods + S/N like the
-    single-band kernel."""
+    single-band kernel.
+
+    fast=True (the reference's default algorithm) evaluates each band's
+    power with the Press-Rybicki O(n log n) FFT estimator: the shared auto
+    grid is exactly the fast evaluator's native zero-based linear layout,
+    so each band drops straight in — at survey scale the direct O(n*n_f)
+    sums are the same scale-killer the single-band kernel already
+    eliminated."""
     import math as _math
 
+    from ..functions.fastperiodogram import lomb_scargle_power_fast
     from ..functions.kernels import (
         lomb_scargle_power,
         periodogram_freq_grid,
@@ -100,7 +109,10 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
             if std == 0:
                 continue
             y = (m - np.mean(m)) / std
-            p = lomb_scargle_power(t, y, freqs)
+            if fast:
+                p = lomb_scargle_power_fast(t, y, freqs[0], len(freqs))
+            else:
+                p = lomb_scargle_power(t, y, freqs)
             w = (float(np.sum(((m - np.mean(m)) / s) ** 2))
                  if weighting == "chi2" else float(len(m)))
             num += w * p

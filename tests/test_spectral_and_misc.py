@@ -150,3 +150,16 @@ def test_multiband_periodogram(spark):
         np.testing.assert_allclose(got["period_0"].to_numpy(),
                                    [period] * 3, rtol=0.02)
         assert (got["period_s_to_n_0"] > 3).all()
+    # fast (Press-Rybicki, the default) ≡ direct: same peaks, S/N within
+    # the extirpolation accuracy
+    fastr = multiband_periodogram(df, ["g", "r"], peaks=1,
+                                  max_freq_factor=2.0).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    direct = multiband_periodogram(df, ["g", "r"], peaks=1,
+                                   max_freq_factor=2.0,
+                                   fast=False).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_allclose(fastr["period_0"], direct["period_0"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(fastr["period_s_to_n_0"],
+                               direct["period_s_to_n_0"], rtol=1e-3)
