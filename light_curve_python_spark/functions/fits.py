@@ -31,7 +31,8 @@ import numpy as np
 from .kernels import Kernel, _register
 
 __all__ = ["levenberg_marquardt", "norm_logcdf", "bazin_model",
-           "villar_model", "linexp_model", "LnPrior"]
+           "villar_model", "linexp_model", "LnPrior",
+           "villar_hosseinzadeh2020_priors"]
 
 
 class LnPrior:
@@ -91,6 +92,19 @@ class LnPrior:
         if kind == "mix":
             return cls.mix([(w, cls.from_spec(s)) for w, s in kw["mix"]])
         return cls(kind, **kw)
+
+    def support(self) -> Tuple[float, float]:
+        """Closed interval outside which the prior is -inf (used to project
+        warm starts into the feasible region before a MAP fit)."""
+        k = self.kind
+        if k in ("uniform", "log_uniform"):
+            return (self.kw["left"], self.kw["right"])
+        if k == "log_normal":
+            return (5e-324, math.inf)
+        if k == "mix":
+            los, his = zip(*(pr.support() for _, pr in self.kw["mix"]))
+            return (min(los), max(his))
+        return (-math.inf, math.inf)
 
     # ---- evaluation ----------------------------------------------------------
     def __call__(self, x: float) -> float:
@@ -275,6 +289,48 @@ def linexp_model(t, a, b, t0, fall):
         return b + a * dt * np.exp(-dt / fall)
 
 
+# --- named prior presets -------------------------------------------------------
+
+def villar_hosseinzadeh2020_priors(t, m):
+    """The reference's named VillarFit prior preset
+    (/root/reference/light-curve/src/features.rs:4893-4900,
+    ``ln_prior='hosseinzadeh2020'``), re-derived from the published source
+    it credits: Hosseinzadeh et al. 2020, ApJ 905, 93 (Superphot), priors
+    on the Villar et al. 2019 model.  Assumes ``t`` in DAYS (the
+    reference's own documented caveat) and positive survey-like flux
+    units (amplitude >= 1).
+
+    Per-curve (data-adaptive bounds), ordered as the engine's villar
+    parametrization (a, b, t0, gamma, beta, tau_rise, tau_fall):
+
+    - amplitude: log-uniform up to 100x the max flux;
+    - baseline: unconstrained (the published model carries no baseline;
+      the engine's b absorbs the survey zero level);
+    - t0: uniform over the data span padded by 50 d;
+    - gamma: the paper's signature BIMODAL plateau-duration prior —
+      2/3 N(5 d, 5 d) + 1/3 N(60 d, 30 d) (short-lived events vs
+      SN IIP-like plateaus);
+    - beta: uniform [0, 0.01] /d (declining plateau);
+    - tau_rise: uniform [0.01, 50] d; tau_fall: uniform [1, 300] d.
+    """
+    return [
+        LnPrior.log_uniform(1.0, 100.0 * float(np.max(m))),
+        LnPrior.none(),
+        LnPrior.uniform(float(t[0]) - 50.0, float(t[-1]) + 50.0),
+        LnPrior.mix([(2.0 / 3.0, LnPrior.normal(5.0, 5.0)),
+                     (1.0 / 3.0, LnPrior.normal(60.0, 30.0))]),
+        LnPrior.uniform(0.0, 0.01),
+        LnPrior.uniform(0.01, 50.0),
+        LnPrior.uniform(1.0, 300.0),
+    ]
+
+
+_NAMED_PRIORS = {
+    # key -> (fit kernel it applies to, per-curve builder)
+    "hosseinzadeh2020": ("villar_fit", villar_hosseinzadeh2020_priors),
+}
+
+
 # --- kernel factories ---------------------------------------------------------
 
 def _fit_kernel(key: str, model: Callable, param_names: Sequence[str],
@@ -283,12 +339,24 @@ def _fit_kernel(key: str, model: Callable, param_names: Sequence[str],
     def factory(init: Optional[Sequence[float]] = None,
                 bounds: Optional[Sequence[Tuple[float, float]]] = None,
                 max_iter: int = 100,
-                ln_prior: Optional[Sequence] = None) -> Kernel:
+                ln_prior: Optional[object] = None) -> Kernel:
         names = tuple(f"{key}_{p}" for p in param_names) \
             + (f"{key}_reduced_chi2",)
         n_par = len(param_names)
         priors = None
-        if ln_prior is not None:
+        named_prior = None
+        if isinstance(ln_prior, str):
+            # the reference's named presets (fit_evaluator! ln_prior arg,
+            # features.rs:4885-4901): data-adaptive, resolved per curve
+            if ln_prior == "no":
+                ln_prior = None
+            else:
+                target, named_prior = _NAMED_PRIORS.get(
+                    ln_prior, (None, None))
+                if named_prior is None or target != key:
+                    raise ValueError(
+                        f"unsupported ln_prior name {ln_prior!r} for {key}")
+        if ln_prior is not None and named_prior is None:
             priors = [LnPrior.from_spec(s) for s in ln_prior]
             if len(priors) != n_par:
                 raise ValueError(
@@ -306,17 +374,51 @@ def _fit_kernel(key: str, model: Callable, param_names: Sequence[str],
                 upper = np.array([hi for _, hi in bounds], dtype=np.float64)
             else:
                 lower, upper = bounds_fn(t, m)
-            p, chi2 = levenberg_marquardt(model, t, m, w, p0, lower, upper,
-                                          max_iter=max_iter,
-                                          ln_priors=priors)
+            curve_priors = named_prior(t, m) if named_prior is not None \
+                else priors
+            if curve_priors is None:
+                p, chi2 = levenberg_marquardt(model, t, m, w, p0,
+                                              lower, upper,
+                                              max_iter=max_iter)
+            else:
+                # MAP is basin-sensitive when priors reshape the cost
+                # surface (hard uniform supports, multimodal mixes): warm
+                # start from the plain ML optimum as well as from p0 and
+                # keep the better MAP cost — deterministic, and the ML fit
+                # is the natural second basin candidate
+                p_ml, _ = levenberg_marquardt(model, t, m, w, p0,
+                                              lower, upper,
+                                              max_iter=max_iter)
+                # project starts into every prior's support (a hard
+                # uniform bound the ML optimum violates would otherwise
+                # leave the MAP run at infinite cost, unable to move)
+                sup_lo, sup_hi = zip(*(pr.support()
+                                       for pr in curve_priors))
+                best = None
+                for start in (p0, p_ml):
+                    start = np.clip(start, sup_lo, sup_hi)
+                    p_c, chi2_c = levenberg_marquardt(
+                        model, t, m, w, start, lower, upper,
+                        max_iter=max_iter, ln_priors=curve_priors)
+                    pen = -2.0 * sum(pr(x) for pr, x in
+                                     zip(curve_priors, p_c))
+                    cost = chi2_c + pen
+                    if best is None or cost < best[0]:
+                        best = (cost, p_c, chi2_c)
+                _, p, chi2 = best
             return np.concatenate([p, [chi2 / (len(t) - n_par)]])
 
+        if named_prior is not None:
+            prior_param = ln_prior          # the name string, JSON-stable
+        elif priors is not None:
+            prior_param = [pr.spec for pr in priors]
+        else:
+            prior_param = None
         return Kernel(key=key, names=names, func=fn, min_obs=n_par + 2,
                       needs_sigma=True,
                       params={"init": init, "bounds": bounds,
                               "max_iter": max_iter,
-                              "ln_prior": None if priors is None
-                              else [pr.spec for pr in priors]})
+                              "ln_prior": prior_param})
     return factory
 
 
