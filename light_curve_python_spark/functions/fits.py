@@ -30,8 +30,8 @@ import numpy as np
 
 from .kernels import Kernel, _register
 
-__all__ = ["levenberg_marquardt", "norm_logcdf", "bazin_model",
-           "villar_model", "linexp_model", "LnPrior",
+__all__ = ["levenberg_marquardt", "lm_errors", "norm_logcdf",
+           "bazin_model", "villar_model", "linexp_model", "LnPrior",
            "villar_hosseinzadeh2020_priors"]
 
 
@@ -163,6 +163,22 @@ def norm_logcdf(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _make_residuals(model: Callable, t: np.ndarray, m: np.ndarray,
+                    sw: np.ndarray,
+                    upper_mask: Optional[np.ndarray]) -> Callable:
+    """r(p) with sum(r^2) = 2*NLL: plain weighted residuals for
+    detections, the sqrt-Tobit transform for censored rows (see
+    levenberg_marquardt)."""
+    def residuals(params):
+        r = sw * (model(t, *params) - m)
+        if upper_mask is not None:
+            # z = (limit - model)/sigma = -r on censored rows
+            nll = -norm_logcdf(-r[upper_mask])
+            r[upper_mask] = np.sqrt(np.maximum(2.0 * nll, 0.0))
+        return r
+    return residuals
+
+
 def levenberg_marquardt(model: Callable, t: np.ndarray, m: np.ndarray,
                         w: np.ndarray, p0: np.ndarray,
                         lower: np.ndarray, upper: np.ndarray,
@@ -186,14 +202,7 @@ def levenberg_marquardt(model: Callable, t: np.ndarray, m: np.ndarray,
     returned "chi2" remains 2*NLL_data on the shared scale."""
     p = np.clip(np.asarray(p0, dtype=np.float64), lower, upper)
     sw = np.sqrt(w)
-
-    def residuals(params):
-        r = sw * (model(t, *params) - m)
-        if upper_mask is not None:
-            # z = (limit - model)/sigma = -r on censored rows
-            nll = -norm_logcdf(-r[upper_mask])
-            r[upper_mask] = np.sqrt(np.maximum(2.0 * nll, 0.0))
-        return r
+    residuals = _make_residuals(model, t, m, sw, upper_mask)
 
     def penalty(params) -> float:
         if ln_priors is None:
@@ -263,6 +272,53 @@ def levenberg_marquardt(model: Callable, t: np.ndarray, m: np.ndarray,
         if not improved:
             break
     return p, chi2
+
+
+def lm_errors(model: Callable, t: np.ndarray, m: np.ndarray,
+              w: np.ndarray, p: np.ndarray,
+              ln_priors: Optional[Sequence["LnPrior"]] = None,
+              upper_mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """HESSE-style 1-sigma parameter errors at the optimum ``p``:
+    sqrt(diag(H^-1)) with H the Gauss-Newton Hessian of the NLL,
+    J_r^T J_r (+ Gaussian-prior curvature on the diagonal) — the same
+    approximation Minuit's HESSE applies to the reference's LIKELIHOOD-
+    errordef cost (_base.py Migrad/HESSE protocol).  Parameters pinned at
+    a bound or flat directions give +inf via the pseudo-inverse guard.
+
+    DOCUMENTED DIVERGENCE: HESSE differentiates the exact cost; this uses
+    the Gauss-Newton approximation (second-order residual terms dropped),
+    exact for linear models and standard for converged least-squares fits.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    sw = np.sqrt(w)
+    residuals = _make_residuals(model, t, m, sw, upper_mask)
+    r = residuals(p)
+    n_par = len(p)
+    J = np.empty((len(t), n_par))
+    for k in range(n_par):
+        step = 1e-6 * max(abs(p[k]), 1.0)
+        pk = p.copy()
+        pk[k] += step
+        J[:, k] = (residuals(pk) - r) / step
+    H = J.T @ J
+    if ln_priors is not None:
+        for k, pr in enumerate(ln_priors):
+            if pr.kind == "none":
+                continue
+            step = 1e-6 * max(abs(p[k]), 1.0)
+            f0 = -2.0 * pr(p[k])
+            fp = -2.0 * pr(p[k] + step)
+            fm = -2.0 * pr(p[k] - step)
+            if math.isfinite(fp) and math.isfinite(fm) \
+                    and math.isfinite(f0):
+                H[k, k] += max(0.5 * (fp - 2.0 * f0 + fm) / step ** 2, 0.0)
+    cov = np.linalg.pinv(H, hermitian=True)
+    var = np.diag(cov).copy()
+    # a parameter the data does not constrain at all (zero J column) has
+    # pinv-variance 0 — report inf, not spuriously perfect confidence
+    flat = np.diag(H) <= 0
+    var[flat] = np.inf
+    return np.sqrt(np.maximum(var, 0.0))
 
 
 # --- models ------------------------------------------------------------------

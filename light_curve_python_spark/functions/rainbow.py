@@ -411,11 +411,18 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
                        n_starts: int = 4, bolometric: str = "bazin",
                        temperature: str = "sigmoid",
                        spectral: str = "planck",
-                       upper_mask: Optional[np.ndarray] = None):
+                       upper_mask: Optional[np.ndarray] = None,
+                       with_errors: bool = False):
     """Fit one multiband curve; returns the unscaled parameter vector
     [rainbow_param_names(bolometric, temperature, spectral)...,
     baseline_{band}... (if with_baseline), r_chisq].  Arrays must be
     time-sorted; band values must all appear in band_wave_cm.
+
+    ``with_errors=True`` appends HESSE-style 1-sigma errors for every
+    parameter (same order) before r_chisq — the reference's
+    _eval_and_get_errors output contract (Migrad/HESSE; here the
+    Gauss-Newton inverse-Hessian at the LM optimum, fits.lm_errors,
+    unscaled by each parameter's declared scaling).
 
     ``upper_mask`` marks non-detections: ``m`` there is the upper-limit
     flux and the row enters the cost as the censored Tobit likelihood
@@ -557,7 +564,7 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
     p, chi2 = best
 
     # ---- unscale (declared scalings; _base.py:202-231) ---------------------
-    out = np.empty(n_par + 1)
+    out = np.empty(n_par + 1 + (n_par if with_errors else 0))
     for i, n in enumerate(pnames):
         rule = scalings.get(n)
         if rule == "time":
@@ -571,6 +578,19 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
     if with_baseline:
         for i, b in enumerate(band_names):
             out[n_model + i] = p[n_model + i] * m_scale + band_shift[b]
+    if with_errors:
+        from .fits import lm_errors
+        err = lm_errors(model, ts, ms, w, p, ln_priors=priors,
+                        upper_mask=upper_mask)
+        # error unscaling: multiplicative factors only (shifts cancel)
+        for i, n in enumerate(pnames):
+            rule = scalings.get(n)
+            fac = t_scale if rule in ("time", "timescale") \
+                else m_scale if rule == "flux" else 1.0
+            out[n_par + i] = err[i] * fac
+        if with_baseline:
+            for i in range(len(band_names)):
+                out[n_par + n_model + i] = err[n_model + i] * m_scale
     out[-1] = 0.5 * chi2 / (len(t) - n_par)      # Minuit FCN convention
     return out
 

@@ -196,7 +196,8 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                 bolometric: str = "bazin",
                 temperature: str = "sigmoid",
                 spectral: str = "planck",
-                upper_limit_col: Optional[str] = None) -> DataFrame:
+                upper_limit_col: Optional[str] = None,
+                with_errors: bool = False) -> DataFrame:
     """Joint multiband RainbowFit per entity (default Bazin x sigmoid-T x
     Planck configuration; see functions/rainbow.py for semantics and
     documented divergences).  One output row per entity: the unscaled
@@ -206,12 +207,18 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
     ``upper_limit_col`` names an optional boolean column marking
     non-detections: their ``m`` is the upper-limit flux and they enter the
     fit through the censored Tobit likelihood (reference minuit_ml.py:
-    114-128) instead of as fake measurements."""
+    114-128) instead of as fake measurements.
+
+    ``with_errors=True`` adds a ``{param}_err`` column per fitted
+    parameter (HESSE-style inverse-Hessian 1-sigma, fits.lm_errors) — the
+    reference's Migrad/HESSE error output contract."""
     from ..functions.rainbow import rainbow_fit_arrays, rainbow_param_names
     band_names = sorted(band_wave_cm)
     names = list(rainbow_param_names(bolometric, temperature, spectral))
     if with_baseline:
         names += [f"baseline_{b}" for b in band_names]
+    if with_errors:
+        names += [f"{n}_err" for n in names]
     names += ["r_chisq"]
     schema = T.StructType(
         [obs.schema[entity_col]]
@@ -232,7 +239,7 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                     with_baseline=with_baseline, max_iter=max_iter,
                     n_starts=n_starts, bolometric=bolometric,
                     temperature=temperature, spectral=spectral,
-                    upper_mask=mask)
+                    upper_mask=mask, with_errors=with_errors)
             if not np.all(np.isfinite(vec)):
                 raise ValueError("non-finite fit")
         except (ValueError, KeyError, ZeroDivisionError, RuntimeError,
