@@ -1267,6 +1267,53 @@ FROM tau
 """
 
 
+def q_multiband_power(spark, sf_dir):
+    """Multiband Lomb-Scargle power on the fixed grid: per-band
+    standardized powers combined with chi2 weights
+    (operators/spectral.py multiband_power — the combine stage of the
+    reference's multiband Periodogram, src/features.rs:4513-4543).  The
+    DuckDB twin evaluates the same tau-shifted closed-form sums per
+    (user, band) and the weighted mean in SQL."""
+    from light_curve_python_spark.operators.spectral import multiband_power
+    ev = _ev(spark, sf_dir).withColumn(
+        "band", F.when(F.col("event_id") % 2 == 0, F.lit("g"))
+        .otherwise(F.lit("r")))
+    out = multiband_power(ev, ["g", "r"], PG_FREQS, entity_col="user_id",
+                          weighting="chi2")
+    return out.withColumn("power", _r("power", 6))
+
+
+SQL_MULTIBAND_POWER = f"""
+WITH ev AS (SELECT *, CASE WHEN event_id % 2 = 0 THEN 'g' ELSE 'r' END
+                      AS band FROM ({EV_SQL})),
+g AS (SELECT user_id, band, avg(m) AS am, stddev_samp(m) AS sm,
+             count(*) AS n
+      FROM ev GROUP BY user_id, band),
+y AS (SELECT e.user_id, e.band, e.t, (e.m - g.am) / g.sm AS y, g.n,
+             (e.m - g.am) / e.sigma AS zchi
+      FROM ev e JOIN g USING (user_id, band)
+      WHERE g.n >= 3 AND g.sm > 0),
+fr AS (SELECT * FROM (VALUES {_PG_VALUES}) AS v(freq_idx, w)),
+s AS (SELECT user_id, band, freq_idx, max(n) AS n,
+        sum(y * cos(w * t)) AS yc0, sum(y * sin(w * t)) AS ys0,
+        sum(cos(2 * w * t)) AS c2, sum(sin(2 * w * t)) AS s2,
+        sum(zchi * zchi) AS wchi
+      FROM y CROSS JOIN fr GROUP BY user_id, band, freq_idx),
+tau AS (SELECT *, 0.5 * atan2(s2, c2) AS wtau,
+          0.5 * (n + c2 * cos(atan2(s2, c2))
+                   + s2 * sin(atan2(s2, c2))) AS cc
+        FROM s),
+pb AS (SELECT user_id, band, freq_idx, wchi,
+         0.5 * (pow(cos(wtau) * yc0 + sin(wtau) * ys0, 2) / cc
+                + pow(cos(wtau) * ys0 - sin(wtau) * yc0, 2) / (n - cc))
+           AS power
+       FROM tau)
+SELECT user_id, CAST(freq_idx AS BIGINT) AS freq_idx,
+  ROUND(sum(wchi * power) / sum(wchi), 6) AS power
+FROM pb GROUP BY user_id, freq_idx
+"""
+
+
 RAINBOW_WAVES = {"g": 4770e-8, "r": 6231e-8}  # effective wavelengths, cm
 
 
@@ -1469,6 +1516,51 @@ WHERE list_dot_product(a.e, b.e)
 """
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-duplicate GROUPS: embedding-cosine pairs (the
+    `cosine_dup_pairs` threshold) closed into connected components with
+    min-id canonical labels (operators/dedup.py connected_components —
+    min-label propagation with pointer jumping).  The DuckDB twin is a
+    recursive-CTE transitive closure over the same pairs."""
+    from light_curve_python_spark.operators.dedup import dedup_groups
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", dot / (norm(F.col("ea"))
+                                          * norm(F.col("eb"))))
+             .filter(F.col("cosine") >= COSINE_DUP_TAU)
+             .select("id_a", "id_b"))
+    return dedup_groups(pairs, emb, "vec_id")
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))) >= {COSINE_DUP_TAU}),
+edges AS (SELECT src, dst FROM p UNION SELECT dst AS src, src AS dst
+          FROM p),
+reach AS (
+  SELECT vec_id AS id, vec_id AS lbl FROM e
+  UNION
+  SELECT edges.dst AS id, reach.lbl
+  FROM reach JOIN edges ON reach.id = edges.src
+)
+SELECT id, min(lbl) AS component, (id = min(lbl)) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -1515,10 +1607,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "count_dt": q_count_dt,
         "periodogram_grid": q_periodogram_grid,
+        "multiband_power": q_multiband_power,
         "rainbow_fit": q_rainbow_fit,
         "bazin_fit": q_bazin_fit,
         "token_counts": q_token_counts,
         "cosine_dup_pairs": q_cosine_dup_pairs,
+        "dedup_groups": q_dedup_groups,
         "lang_id": q_lang_id,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
@@ -1560,10 +1654,12 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidates": SQL_LSH_CANDIDATES,
         "count_dt": SQL_COUNT_DT,
         "periodogram_grid": SQL_PERIODOGRAM_GRID,
+        "multiband_power": SQL_MULTIBAND_POWER,
         "rainbow_fit": SQL_RAINBOW_FIT,
         "bazin_fit": SQL_BAZIN_FIT,
         "token_counts": SQL_TOKEN_COUNTS,
         "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
+        "dedup_groups": SQL_DEDUP_GROUPS,
         "lang_id": _langid_sql(),
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["exact_dedup", "shingle", "minhash_signatures", "lsh_candidates",
-           "simhash64", "ngram_jaccard_pairs"]
+           "simhash64", "ngram_jaccard_pairs", "connected_components",
+           "dedup_groups"]
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str],
@@ -107,6 +108,86 @@ def simhash64(df: DataFrame, text_col: str = "text",
             .otherwise(F.lit(0).cast("long"))
         acc = term if acc is None else acc + term
     return sh.groupBy(id_col).agg(acc.alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         nodes: Optional[DataFrame] = None,
+                         node_col: Optional[str] = None,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    ``(id, component)`` with component = the MINIMUM id in each group —
+    the step that turns pairwise dedup output (LSH / jaccard / cosine
+    pairs) into keep-one-per-group decisions.
+
+    Algorithm: min-label propagation with POINTER JUMPING.  Each round
+    does (1) a one-hop neighbor-min join and (2) a label-shortcut join
+    ``label <- label(label)`` (labels are always node ids, so the jump is
+    well-defined); the shortcut halves the remaining label-tree depth, so
+    convergence is O(log n) rounds — each a bounded pair of hash joins,
+    the Spark-shaped equivalent of the alternating-star MapReduce
+    algorithm.  Terminates when a round changes no label; raises if
+    ``max_iter`` rounds were not enough (2^25-deep chains do not occur in
+    dedup graphs).
+
+    ``nodes`` (with ``node_col``, default the pair id column name) adds
+    isolated documents as their own singleton components so the output
+    covers the whole corpus, not just paired docs."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .distinct())
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+        .withColumn("lbl", F.col("id"))
+    if nodes is not None:
+        nc = node_col or id_a
+        labels = (nodes.select(F.col(nc).alias("id")).distinct()
+                  .withColumn("lbl", F.col("id"))
+                  .unionByName(labels)
+                  .groupBy("id").agg(F.min("lbl").alias("lbl")))
+    edges = edges.persist()
+    # localCheckpoint truncates the lineage each round — the iterated
+    # self-joins otherwise stack O(rounds) plans deep and overflow the
+    # planner (on a cluster with a checkpoint dir, reliable checkpoints
+    # swap in transparently)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # (1) one-hop: min label over the neighborhood
+        nb = (edges.join(labels.select(F.col("id").alias("dst"),
+                                       F.col("lbl").alias("_dl")), "dst")
+              .groupBy("src").agg(F.min("_dl").alias("_nl")))
+        hop = (labels.join(nb, labels["id"] == nb["src"], "left")
+               .select(labels["id"],
+                       F.least("lbl", F.coalesce("_nl", "lbl"))
+                       .alias("lbl")))
+        # (2) pointer jump: follow the label's own label
+        jump_src = hop.select(F.col("id").alias("lbl"),
+                              F.col("lbl").alias("_ll"))
+        new_labels = (hop.join(jump_src, "lbl", "left")
+                      .select("id", F.least(
+                          "lbl", F.coalesce("_ll", "lbl")).alias("lbl"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(F.col("id"),
+                                 F.col("lbl").alias("component"))
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_groups(pairs: DataFrame, nodes: DataFrame, node_col: str,
+                 id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """(id, component, is_canonical): full-corpus dedup decision from a
+    near-dup pair list — every document labeled with its group's min id;
+    keep rows where ``is_canonical``."""
+    cc = connected_components(pairs, id_a, id_b, nodes=nodes,
+                              node_col=node_col)
+    return cc.withColumn("is_canonical", F.col("id") == F.col("component"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -19,8 +19,8 @@ from ..functions.kernels import periodogram_power
 from .dmdt import (count_dt_kernel, dmdt_gausses_kernel, dmdt_points_kernel,
                    normalize_dmdt)
 
-__all__ = ["periodogram_freq_power", "multiband_periodogram", "dmdt_maps",
-           "rainbow_fit"]
+__all__ = ["periodogram_freq_power", "multiband_periodogram",
+           "multiband_power", "dmdt_maps", "rainbow_fit"]
 
 
 def periodogram_freq_power(obs: DataFrame, entity_col: str = "doc_id",
@@ -138,6 +138,65 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
         for n, v in zip(names, vals):
             out[n] = [v]
         return pd.DataFrame(out)
+
+    return obs.select(entity_col, t_col, m_col, sigma_col, band_col) \
+        .groupBy(entity_col).applyInPandas(fn, schema)
+
+
+def multiband_power(obs: DataFrame, bands: Sequence[str],
+                    freqs: Sequence[float], entity_col: str = "doc_id",
+                    t_col: str = "t", m_col: str = "m",
+                    sigma_col: str = "sigma", band_col: str = "band",
+                    weighting: str = "chi2") -> DataFrame:
+    """Raw multiband Lomb-Scargle power on an EXPLICIT angular-frequency
+    grid: per-band standardized powers combined as the weighted mean with
+    'chi2' (per-band Σ((m-m̄)/σ)²) or 'count' weights — the combine stage
+    of multiband_periodogram (src/features.rs:4513-4543) exposed row-wise
+    ``(entity, freq_idx, power)`` so an external engine can reproduce it
+    in closed form (the driver's DuckDB twin).  Bands with fewer than 3
+    observations or zero variance are skipped; entities with no usable
+    band are dropped (both engines)."""
+    from ..functions.kernels import lomb_scargle_power
+    if weighting not in ("chi2", "count"):
+        raise ValueError("weighting must be 'chi2' or 'count'")
+    freqs_arr = np.asarray(list(freqs), dtype=np.float64)
+    schema = T.StructType([
+        obs.schema[entity_col],
+        T.StructField("freq_idx", T.LongType(), False),
+        T.StructField("power", T.DoubleType(), False),
+    ])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        t_all = pdf[t_col].to_numpy(np.float64)
+        order = np.argsort(t_all, kind="mergesort")
+        t_all = t_all[order]
+        m_all = pdf[m_col].to_numpy(np.float64)[order]
+        s_all = pdf[sigma_col].to_numpy(np.float64)[order]
+        b_all = pdf[band_col].to_numpy()[order]
+        num = np.zeros(len(freqs_arr))
+        den = 0.0
+        for b in bands:
+            mask = b_all == b
+            if mask.sum() < 3:
+                continue
+            t, m, s = t_all[mask], m_all[mask], s_all[mask]
+            std = np.std(m, ddof=1)
+            if std == 0:
+                continue
+            y = (m - np.mean(m)) / std
+            p = lomb_scargle_power(t, y, freqs_arr)
+            w = (float(np.sum(((m - np.mean(m)) / s) ** 2))
+                 if weighting == "chi2" else float(len(m)))
+            num += w * p
+            den += w
+        if den == 0:
+            return pd.DataFrame({entity_col: pdf[entity_col].iloc[:0],
+                                 "freq_idx": pd.Series([], dtype="int64"),
+                                 "power": pd.Series([], dtype="float64")})
+        return pd.DataFrame({
+            entity_col: pdf[entity_col].iloc[0],
+            "freq_idx": np.arange(len(freqs_arr), dtype=np.int64),
+            "power": num / den})
 
     return obs.select(entity_col, t_col, m_col, sigma_col, band_col) \
         .groupBy(entity_col).applyInPandas(fn, schema)
