@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["exact_dedup", "shingle", "minhash_signatures", "lsh_candidates",
            "simhash64", "ngram_jaccard_pairs", "connected_components",
-           "dedup_groups"]
+           "dedup_groups", "minhash_dedup"]
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str],
@@ -108,6 +108,55 @@ def simhash64(df: DataFrame, text_col: str = "text",
             .otherwise(F.lit(0).cast("long"))
         acc = term if acc is None else acc + term
     return sh.groupBy(id_col).agg(acc.alias("simhash"))
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3, n_hashes: int = 16,
+                  n_bands: int = 4, threshold: float = 0.8,
+                  max_shingle_df: Optional[int] = 256) -> DataFrame:
+    """End-to-end MinHash near-duplicate dedup — the full pipeline a
+    training-data run needs, composed from the verified pieces:
+
+    1. xxhash64 MinHash signatures + banded LSH candidates
+       (``minhash_signatures`` / ``lsh_candidates``): candidate pairs
+       must collide in >=1 of ``n_bands`` bands;
+    2. exact Jaccard verification on the FULL shingle sets (LSH stays a
+       pure candidate generator — no false positive survives);
+    3. connected components over verified pairs, min-id canonical per
+       group (``connected_components``).
+
+    Returns ``(id, component, is_canonical)`` covering EVERY input doc
+    (singletons are their own canonical).  ``max_shingle_df`` bounds the
+    verify-join fan-out at scale (see ngram_jaccard_pairs).
+
+    Scale shape: signatures are one explode + map-side-combined min agg;
+    LSH candidates a band-bucket equi-join; verification touches only
+    candidate pairs; grouping is O(log n) bounded hash-join rounds.  No
+    all-pairs stage anywhere."""
+    sh = shingle(df, text_col, k, id_col)
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
+            for i in range(n_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)   # shingles reused by the verify
+    cand = lsh_candidates(sig, id_col, n_hashes=n_hashes, bands=n_bands)
+    idx = sh
+    if max_shingle_df is not None:
+        idx = (sh.withColumn("_df",
+                             F.count("*").over(Window.partitionBy("sh")))
+               .filter(F.col("_df") <= max_shingle_df).drop("_df"))
+    sets = idx.groupBy(id_col).agg(F.collect_set("sh").alias("_set"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    verified = (cand
+                .join(sets.select(F.col(id_col).alias("id_a"),
+                                  F.col("_set").alias("_sa")), "id_a")
+                .join(sets.select(F.col(id_col).alias("id_b"),
+                                  F.col("_set").alias("_sb")), "id_b")
+                .withColumn("_inter", inter)
+                .withColumn("_j", F.col("_inter")
+                            / (F.size("_sa") + F.size("_sb")
+                               - F.col("_inter")))
+                .filter(F.col("_j") >= threshold)
+                .select("id_a", "id_b"))
+    return dedup_groups(verified, df, id_col)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

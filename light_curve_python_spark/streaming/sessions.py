@@ -15,7 +15,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_session_stats", "streaming_bins"]
+__all__ = ["streaming_session_stats", "streaming_bins",
+           "streaming_exact_dedup"]
+
+
+def streaming_exact_dedup(stream: DataFrame, cols, ts_col: str = "ts",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/dedup.exact_dedup: emit only the FIRST
+    row per content digest.  The digest matches the batch operator
+    (md5(to_json(struct(...))) — null- and boundary-safe), so a backfill
+    job and the live stream agree on identity.  State is keyed on the
+    digest; ``dropDuplicatesWithinWatermark`` ages keys out once they fall
+    behind the event-time watermark — bounded state at unbounded stream
+    length (an exact forever-dedup needs an external key store instead)."""
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .withColumn("_digest", digest)
+            .dropDuplicatesWithinWatermark(["_digest"])
+            .drop("_digest"))
 
 
 def streaming_session_stats(events: DataFrame, key_col: str = "user_id",

@@ -283,3 +283,40 @@ def test_salted_horizon_equals_unsalted(spark, data):
         np.testing.assert_allclose(plain[c].to_numpy(float),
                                    salted[c].to_numpy(float),
                                    rtol=0, atol=0, equal_nan=True)
+
+
+def test_float32_input_parity(spark):
+    """The reference's f32 ~= f64 metamorphic invariance
+    (tests/light_curve_ext/test_feature.py:285-297): extraction from
+    FloatType columns matches DoubleType results at float32 resolution
+    (the engine's kernels operate on whatever dtype Arrow delivers,
+    mirroring the dual-compiled evaluators of src/features.rs:320-356)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    rng = np.random.default_rng(12)
+    frames = []
+    for e in range(3):
+        n = 200
+        frames.append(pd.DataFrame({
+            "doc_id": f"e{e}",
+            "t": np.sort(rng.uniform(0, 100, n)),
+            "m": rng.uniform(15, 21, n),
+            "sigma": rng.uniform(0.01, 0.2, n)}))
+    df64 = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    df32 = df64.select(
+        "doc_id", *[F.col(c).cast("float").alias(c)
+                    for c in ("t", "m", "sigma")])
+    ex = FeatureExtractor(["amplitude", "mean", "weighted_mean",
+                           "standard_deviation", "skew", "stetson_k",
+                           "inter_percentile_range", "linear_fit",
+                           "otsu_split", "eta_e"])
+    a = ex.extract(df64, band_col=None).toPandas() \
+        .set_index("doc_id").sort_index()
+    b = ex.extract(df32, band_col=None).toPandas() \
+        .set_index("doc_id").sort_index()
+    # rtol: f32 inputs carry ~1e-7 relative noise which cancellation-heavy
+    # aggregates (eta_e's squared-diff ratios, fit chi2) amplify by ~1e3
+    # on 200-point windows; 2e-3 bounds that while still catching any
+    # dtype-dependent code path divergence
+    np.testing.assert_allclose(a.to_numpy(), b.to_numpy(), rtol=2e-3)

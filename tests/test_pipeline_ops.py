@@ -350,3 +350,20 @@ def test_embed_sequences_pipeline(spark):
     corpus = edf.select(F.col("doc_id").alias("vec_id"), "embedding")
     nn = cosine_topk(corpus, probes, k=1).toPandas()
     assert len(nn) == 2
+
+
+def test_minhash_dedup_end_to_end(spark, docs):
+    """The composed pipeline (signatures -> LSH -> exact-jaccard verify ->
+    connected components): exact + near dups of doc 0 group under the min
+    id, everything else is its own canonical."""
+    from light_curve_python_spark.operators.dedup import minhash_dedup
+    out = minhash_dedup(docs, k=2, n_hashes=16, n_bands=8,
+                        threshold=0.5).toPandas().set_index("id")
+    assert len(out) == 6                      # whole corpus covered
+    assert out.loc[1, "component"] == 0       # exact dup
+    assert out.loc[2, "component"] == 0       # near dup (1-word change)
+    for d in (3, 4, 5):
+        assert out.loc[d, "component"] == d
+        assert bool(out.loc[d, "is_canonical"])
+    assert not bool(out.loc[1, "is_canonical"])
+    assert set(out[out.is_canonical].index) == {0, 3, 4, 5}

@@ -193,3 +193,39 @@ def test_streaming_asof_lookback_bounds_state(spark, tmp_path):
     # visibility applies; eviction only shrinks CARRIED state
     assert got.loc[55.0, "v_asof"] == 50.0
     assert got.loc[3.0, "v_asof"] == 2.0
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """First-seen-per-digest semantics, append mode: duplicates within and
+    across micro-batch files are dropped; output ids == batch exact_dedup
+    representative set on the same data."""
+    import datetime as dt2
+    from light_curve_python_spark.operators.dedup import exact_dedup
+    from light_curve_python_spark.streaming.sessions import (
+        streaming_exact_dedup)
+    base = dt2.datetime(2024, 1, 1)
+    rows = []
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon",
+             "gamma delta", "zeta", "alpha beta", "eta theta"]
+    for i, tx in enumerate(texts):
+        rows.append((i, base + dt2.timedelta(minutes=i), tx))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    src = str(tmp_path / "docs_src")
+    # two files => at least the file-source's batching boundaries exercised
+    spark.createDataFrame(pdf.iloc[:4]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[4:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, ts timestamp, "
+                                      "text string").parquet(src))
+    out_dir = str(tmp_path / "out")
+    q = (streaming_exact_dedup(stream, ["text"], ts_col="ts")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    # one row per distinct text
+    assert sorted(got["text"]) == sorted(pdf["text"].unique())
+    batch = exact_dedup(spark.createDataFrame(pdf), ["text"]).toPandas()
+    assert set(got["text"]) == set(batch["text"])
