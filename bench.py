@@ -95,13 +95,18 @@ def _host_ceiling_control() -> dict:
     import numpy as np  # noqa: F401
     out = {}
     for procs in (8, 32):
+        # best-of-3, mirroring the Spark side's min-of-5: a noisy-neighbor
+        # burst during ONE control phase otherwise skews the ceiling ratio
+        # in either direction (observed 0.71-1.11 single-shot)
+        best = 0.0
         with mp.Pool(procs) as pool:
             pool.map(_control_worker, [(i, 2) for i in range(procs)])
-            t0 = time.perf_counter()
-            rows = sum(pool.map(_control_worker,
-                                [(i, 40) for i in range(procs)]))
-            dt = time.perf_counter() - t0
-        out[f"procs{procs}_rows_per_sec"] = round(rows / dt, 1)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = sum(pool.map(_control_worker,
+                                    [(i, 40) for i in range(procs)]))
+                best = max(best, rows / (time.perf_counter() - t0))
+        out[f"procs{procs}_rows_per_sec"] = round(best, 1)
     out["efficiency_8_to_32"] = round(
         out["procs32_rows_per_sec"] / out["procs8_rows_per_sec"] / 4.0, 3)
     return out
@@ -124,7 +129,13 @@ def _trivial_cogroup_sec(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-N_BUCKETS = 256
+# 128, not 256: the trivial-cogroup floor is task machinery (~13 ms/task
+# pair), so halving the task count halves the floor (measured 3.1 s -> 1.7 s
+# at sf0.1 local[32]) and lifts the flagship ~25%; 64 measures the same as
+# 128 but leaves only 2 task waves at 32 cores — one hot bucket then costs a
+# whole straggler wave, so 128 keeps the balance margin.  On a real cluster
+# size this as ~4x total executor cores.
+N_BUCKETS = 128
 
 
 def _ensure_synth(spark):
