@@ -1516,6 +1516,104 @@ WHERE list_dot_product(a.e, b.e)
 """
 
 
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+SAMPLE_SEED = 7
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling / data mixing
+    (operators/sampling.py hash_sample): per-source keep rates decided by
+    a pure hash of doc_id — reproducible across partitioning, retries,
+    and engines.  The oracle twin computes the identical modular hash
+    (production uses xxhash64; the modular form is the integer-exact
+    oracle device shared with the minhash queries)."""
+    from light_curve_python_spark.operators.sampling import hash_sample
+
+    def modhash(c):
+        return F.pmod(c * F.lit(1000003) + F.lit(SAMPLE_SEED), F.lit(PRIME))
+
+    out = hash_sample(_docs(spark, sf_dir), SAMPLE_RATES,
+                      stratify_col="source", key_col="doc_id",
+                      default_rate=0.1, hash_fn=modhash)
+    return out.select("doc_id", "source")
+
+
+_SAMPLE_RATE_SQL = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {int(r * 1_000_000)}"
+    for s, r in sorted(SAMPLE_RATES.items())) + " ELSE 100000 END"
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 1000003 + {SAMPLE_SEED}) % {PRIME} % 1000000
+      < {_SAMPLE_RATE_SQL}
+"""
+
+
+def q_corpus_filter(spark, sf_dir):
+    """One-pass quality gate (operators/text.py quality_filter — the
+    Gopher/C4-style heuristic family): length, mean word length,
+    punctuation density, stopword presence, language allowlist; emits the
+    keep flag plus signals so reject-reason analytics stay queryable."""
+    from light_curve_python_spark.operators.text import quality_filter
+    out = quality_filter(_docs(spark, sf_dir), min_words=10,
+                         max_words=500, min_avg_word_len=2.5,
+                         max_avg_word_len=9.0, max_punct_ratio=0.1,
+                         min_stopword_ratio=0.01, langs=("en", "de"))
+    return out.select("doc_id",
+                      F.col("n_words").cast("long").alias("n_words"),
+                      _r("avg_word_len", 6).alias("avg_word_len"),
+                      _r("punct_ratio", 6).alias("punct_ratio"),
+                      _r("stopword_ratio", 6).alias("stopword_ratio"),
+                      "keep")
+
+
+SQL_CORPUS_FILTER = """
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS n_words,
+         list_aggregate(list_transform(
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> ''), x -> len(x)), 'sum')
+           AS sum_wlen,
+         len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> ''),
+             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(text) AS n_chars,
+         lang
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  ROUND(CAST(sum_wlen AS DOUBLE) / n_words, 6) AS avg_word_len,
+  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+  ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+  (n_words >= 10 AND n_words <= 500
+   AND CAST(sum_wlen AS DOUBLE) / n_words >= 2.5
+   AND CAST(sum_wlen AS DOUBLE) / n_words <= 9.0
+   AND CAST(n_punct AS DOUBLE) / n_chars <= 0.1
+   AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+   AND lang IN ('en', 'de')) AS keep
+FROM w
+"""
+
+
+def q_word_bigrams(spark, sf_dir):
+    """Corpus bigram counts >= 3 (operators/text.py word_bigrams) —
+    collocation/vocabulary statistics; explode + map-side-combined count."""
+    from light_curve_python_spark.operators.text import word_bigrams
+    out = word_bigrams(_docs(spark, sf_dir), min_count=3)
+    return out.select("bigram", F.col("n").cast("long").alias("n"))
+
+
+SQL_WORD_BIGRAMS = f"""
+WITH {WORDS_SQL.strip()}
+SELECT a.w || ' ' || b.w AS bigram, count(*) AS n
+FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY 1 HAVING count(*) >= 3
+"""
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-duplicate GROUPS: embedding-cosine pairs (the
     `cosine_dup_pairs` threshold) closed into connected components with
@@ -1613,6 +1711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "dedup_groups": q_dedup_groups,
+        "stratified_sample": q_stratified_sample,
+        "corpus_filter": q_corpus_filter,
+        "word_bigrams": q_word_bigrams,
         "lang_id": q_lang_id,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
@@ -1660,6 +1761,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
         "dedup_groups": SQL_DEDUP_GROUPS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "corpus_filter": SQL_CORPUS_FILTER,
+        "word_bigrams": SQL_WORD_BIGRAMS,
         "lang_id": _langid_sql(),
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)

@@ -11,7 +11,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["with_word_tokens", "text_quality", "language_id",
-           "token_count_bpe_ish", "rolling_fingerprint"]
+           "token_count_bpe_ish", "rolling_fingerprint", "quality_filter",
+           "word_bigrams"]
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
 LANG_STOPWORDS: Dict[str, Sequence[str]] = {
@@ -96,6 +97,65 @@ def token_count_bpe_ish(df: DataFrame, text_col: str = "text",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
         .alias("n_bpe_ish_tokens"),
     )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 5, max_words: int = 100000,
+                   min_avg_word_len: float = 2.0,
+                   max_avg_word_len: float = 12.0,
+                   max_punct_ratio: float = 0.3,
+                   min_stopword_ratio: float = 0.0,
+                   langs: Sequence[str] = (),
+                   lang_col: str = "lang") -> DataFrame:
+    """One-pass corpus quality gate (the Gopher/C4-style heuristic
+    filter family): length, mean word length, punctuation density,
+    stopword presence, and an optional language allowlist, all as JVM
+    expressions over a single scan.  Returns the input rows plus the
+    signal columns and a ``keep`` flag — filter on ``keep`` (kept as a
+    column so reject-reason analytics stay one groupBy away)."""
+    d = with_word_tokens(df, text_col)
+    words = F.col("words")
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+    stop = F.size(F.filter(words,
+                           lambda w: w.isin(*LANG_STOPWORDS["en"])))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    d = (d.withColumn("n_words", n_words)
+         .withColumn("avg_word_len",
+                     F.aggregate(words, F.lit(0),
+                                 lambda acc, w: acc + F.length(w))
+                     / F.col("n_words"))
+         .withColumn("punct_ratio", n_punct / n_chars)
+         .withColumn("stopword_ratio", stop / F.col("n_words")))
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("avg_word_len") >= min_avg_word_len)
+            & (F.col("avg_word_len") <= max_avg_word_len)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+            & (F.col("stopword_ratio") >= min_stopword_ratio))
+    if langs:
+        keep = keep & F.col(lang_col).isin(*list(langs))
+    return d.drop("words").withColumn("keep", keep)
+
+
+def word_bigrams(df: DataFrame, text_col: str = "text",
+                 min_count: int = 2) -> DataFrame:
+    """Corpus-level word bigram counts ``(bigram, count)`` — vocabulary /
+    collocation statistics for training-data analysis.  One explode + one
+    map-side-combined count shuffle; ``min_count`` prunes the long tail
+    before the result leaves the aggregation."""
+    d = with_word_tokens(df, text_col)
+    n = F.size("words") - 1
+    bg = (d.filter(n >= 1)
+          .select(F.explode(F.transform(
+              F.sequence(F.lit(1), n),
+              lambda i: F.concat_ws(" ", F.element_at(F.col("words"), i),
+                                    F.element_at(F.col("words"), i + 1))))
+              .alias("bigram")))
+    return (bg.groupBy("bigram").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count))
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text",

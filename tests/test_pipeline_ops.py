@@ -367,3 +367,58 @@ def test_minhash_dedup_end_to_end(spark, docs):
         assert bool(out.loc[d, "is_canonical"])
     assert not bool(out.loc[1, "is_canonical"])
     assert set(out[out.is_canonical].index) == {0, 3, 4, 5}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from light_curve_python_spark.operators.sampling import hash_sample
+    rows = [(i, f"src{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).cache()
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = hash_sample(df, rates, seed=1).toPandas()
+    b = hash_sample(df.repartition(17), rates, seed=1).toPandas()
+    # pure function of (key, seed): identical under repartitioning
+    assert set(a.doc_id) == set(b.doc_id)
+    by_src = a.groupby("source").size()
+    assert by_src.get("src0", 0) == 1000          # rate 1.0 keeps all
+    assert "src2" not in by_src.index             # rate 0 keeps none
+    assert 380 <= by_src.get("src1", 0) <= 620    # ~half
+    # a different seed redraws
+    c = hash_sample(df, rates, seed=2).toPandas()
+    assert set(c[c.source == "src1"].doc_id) \
+        != set(a[a.source == "src1"].doc_id)
+    # unknown strata follow default_rate
+    d = hash_sample(df, {"other": 1.0}, seed=1, default_rate=0.0)
+    assert d.count() == 0
+
+
+def test_quality_filter_signals_and_gate(spark):
+    from light_curve_python_spark.operators.text import quality_filter
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "en"),
+        (1, "a b c d e f g h i j", "en"),              # avg_word_len 1
+        (2, "!!! ??? ... ;;; ::: @@@ $$$ %%% ^^^ &&&", "en"),  # punct
+        (3, "der hund und die katze laufen durch den park heute", "de"),
+        (4, "ein zwei drei vier", "de"),               # too short
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = quality_filter(df, min_words=5, min_avg_word_len=2.0,
+                         max_punct_ratio=0.2, min_stopword_ratio=0.0,
+                         langs=("en", "de")).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[3, "keep"])
+    assert not bool(out.loc[1, "keep"])   # avg word len 1 < 2
+    assert not bool(out.loc[2, "keep"])   # punctuation
+    assert not bool(out.loc[4, "keep"])   # 4 words < 5
+    assert out.loc[0, "n_words"] == 10
+    assert out.loc[1, "avg_word_len"] == 1.0
+
+
+def test_word_bigrams_counts(spark):
+    from light_curve_python_spark.operators.text import word_bigrams
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b c"), (2, "x")],
+        ["doc_id", "text"])
+    out = word_bigrams(df, min_count=1).toPandas() \
+        .set_index("bigram")["n"].to_dict()
+    assert out == {"a b": 4, "b a": 2, "b c": 1}
+    top = word_bigrams(df, min_count=2).toPandas()
+    assert set(top.bigram) == {"a b", "b a"}
