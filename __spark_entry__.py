@@ -1614,6 +1614,43 @@ GROUP BY 1 HAVING count(*) >= 3
 """
 
 
+PACK_BLOCK = 256
+
+
+def q_pack_spans(spark, sf_dir):
+    """Sequence packing spans (operators/packing.py pack_spans): the
+    concat-then-chunk training-block assignment over the corpus, token
+    stream scoped per source, n_tok := word count (the engines share the
+    same tokenizer-free count).  The DuckDB twin is the identical window
+    cumsum + generate_series."""
+    from light_curve_python_spark.operators.packing import pack_spans
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tok", F.size(F.filter(F.split("text", r"\s+"),
+                                 lambda w: w != "")))
+    out = pack_spans(docs, PACK_BLOCK)
+    return out.select("source", "doc_id", "block_id", "tok_start",
+                      "tok_end")
+
+
+SQL_PACK_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents),
+c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tok AS prev
+      FROM d)
+SELECT source, doc_id, b AS block_id,
+  greatest(b * {PACK_BLOCK} - prev, 0) AS tok_start,
+  least((b + 1) * {PACK_BLOCK} - prev, n_tok) AS tok_end
+FROM c, unnest(generate_series(
+    CAST(floor(prev / {PACK_BLOCK}) AS BIGINT),
+    CAST(floor((prev + n_tok - 1) / {PACK_BLOCK}) AS BIGINT))) AS t(b)
+WHERE n_tok > 0
+"""
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-duplicate GROUPS: embedding-cosine pairs (the
     `cosine_dup_pairs` threshold) closed into connected components with
@@ -1714,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "corpus_filter": q_corpus_filter,
         "word_bigrams": q_word_bigrams,
+        "pack_spans": q_pack_spans,
         "lang_id": q_lang_id,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
@@ -1764,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "corpus_filter": SQL_CORPUS_FILTER,
         "word_bigrams": SQL_WORD_BIGRAMS,
+        "pack_spans": SQL_PACK_SPANS,
         "lang_id": _langid_sql(),
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)

@@ -1,0 +1,80 @@
+"""Sequence packing (operators/packing.py): concat-then-chunk spans and
+materialized fixed-size training blocks, checked against a straight numpy
+reference and for byte-exact token payloads."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from light_curve_python_spark.operators.packing import (
+    pack_spans,
+    pack_tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(0, 40))
+        rows.append((i, f"src{i % 3}",
+                     [int(x) for x in rng.integers(0, 1000, n)]))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "tokens"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_pack_spans_match_numpy(spark, corpus):
+    df, pdf = corpus
+    B = 32
+    pdf = pdf.assign(n_tok=pdf.tokens.map(len))
+    got = pack_spans(df.withColumn("n_tok", F.size("tokens")), B).toPandas()
+    for src, grp in pdf.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        offset = 0
+        want = []
+        for _, r in grp.iterrows():
+            n = r.n_tok
+            if n == 0:
+                offset += 0
+                continue
+            first, last = offset // B, (offset + n - 1) // B
+            for b in range(first, last + 1):
+                s = max(b * B - offset, 0)
+                e = min((b + 1) * B - offset, n)
+                want.append((r.doc_id, b, s, e))
+            offset += n
+        g = got[got.source == src].sort_values(
+            ["doc_id", "block_id"]).reset_index(drop=True)
+        assert [tuple(x) for x in
+                g[["doc_id", "block_id", "tok_start", "tok_end"]
+                  ].to_numpy()] == sorted(want)
+
+
+def test_pack_tokens_byte_exact(spark, corpus):
+    df, pdf = corpus
+    B = 32
+    got = pack_tokens(df, B).toPandas()
+    for src, grp in pdf.groupby("source"):
+        stream = [t for _, r in grp.sort_values("doc_id").iterrows()
+                  for t in r.tokens]
+        g = got[got.source == src].sort_values("block_id")
+        # block ids dense from 0; every block full except the last
+        assert list(g.block_id) == list(range(len(g)))
+        sizes = g.tokens.map(len).tolist()
+        assert all(s == B for s in sizes[:-1])
+        if stream:
+            assert 1 <= sizes[-1] <= B
+        # byte-exact concatenation in packing order
+        assert [t for blk in g.tokens for t in blk] == stream
+
+
+def test_pack_spans_global_order(spark, corpus):
+    df, _ = corpus
+    out = pack_spans(
+        df.withColumn("n_tok", F.size("tokens")),
+        64, partition_col=None).toPandas()
+    # single global stream: block 0 exists and spans are contiguous
+    assert out.block_id.min() == 0
+    assert (out.tok_end > out.tok_start).all()
