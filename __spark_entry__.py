@@ -1614,6 +1614,40 @@ GROUP BY 1 HAVING count(*) >= 3
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Eval-set decontamination (operators/dedup.py ngram_contamination):
+    word 3-gram overlap between a train split (doc_id % 10 != 0) and an
+    eval split (doc_id % 10 == 0) — n_shared distinct shingles per pair
+    plus the eval-side contamination fraction.  Exact mode
+    (max_shingle_df=None) so the DuckDB twin is the same inverted-index
+    join in SQL."""
+    from light_curve_python_spark.operators.dedup import (
+        ngram_contamination)
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    out = ngram_contamination(train, ev, k=3, max_shingle_df=None)
+    return out.select("eval_id", "train_id",
+                      F.col("n_shared").cast("long").alias("n_shared"),
+                      _r("frac_of_eval", 6).alias("frac_of_eval"))
+
+
+SQL_CONTAMINATION = f"""
+WITH {WORDS_SQL.strip()},
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       FROM words a
+       JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 10 <> 0),
+evs AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 10 = 0),
+tot AS (SELECT eval_id, count(*) AS n_ev FROM evs GROUP BY eval_id)
+SELECT eval_id, train_id, count(*) AS n_shared,
+  ROUND(CAST(count(*) AS DOUBLE) / max(n_ev), 6) AS frac_of_eval
+FROM evs JOIN tr USING (sh) JOIN tot USING (eval_id)
+GROUP BY eval_id, train_id
+"""
+
+
 PACK_BLOCK = 256
 
 
@@ -1752,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "word_bigrams": q_word_bigrams,
         "pack_spans": q_pack_spans,
+        "contamination": q_contamination,
         "lang_id": q_lang_id,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
@@ -1803,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": SQL_CORPUS_FILTER,
         "word_bigrams": SQL_WORD_BIGRAMS,
         "pack_spans": SQL_PACK_SPANS,
+        "contamination": SQL_CONTAMINATION,
         "lang_id": _langid_sql(),
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)

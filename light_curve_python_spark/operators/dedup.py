@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["exact_dedup", "shingle", "minhash_signatures", "lsh_candidates",
            "simhash64", "ngram_jaccard_pairs", "connected_components",
-           "dedup_groups", "minhash_dedup"]
+           "dedup_groups", "minhash_dedup", "ngram_contamination"]
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str],
@@ -108,6 +108,43 @@ def simhash64(df: DataFrame, text_col: str = "text",
             .otherwise(F.lit(0).cast("long"))
         acc = term if acc is None else acc + term
     return sh.groupBy(id_col).agg(acc.alias("simhash"))
+
+
+def ngram_contamination(train: DataFrame, eval_df: DataFrame,
+                        k: int = 13, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_shingle_df: Optional[int] = 256,
+                        min_shared: int = 1) -> DataFrame:
+    """Eval-set decontamination: word ``k``-gram overlap between a train
+    corpus and an eval set (the standard 13-gram contamination check).
+    Returns ``(eval_id, train_id, n_shared, frac_of_eval)`` — distinct
+    shared shingles per pair and the fraction of the eval doc's shingles
+    found in that train doc; filter ``frac_of_eval`` at your
+    contamination threshold.
+
+    Scale shape: inverted-index equi-join on the shingle (eval side is
+    small — benchmarks, not the corpus), broadcast when it fits;
+    ``max_shingle_df`` prunes train-side stop-shingles so one boilerplate
+    k-gram cannot fan out quadratically.  The eval doc's total shingle
+    count (the ``frac_of_eval`` denominator) is computed on the UNPRUNED
+    set, so pruning only loses candidates, never inflates scores."""
+    tr = shingle(train, text_col, k, id_col) \
+        .select(F.col(id_col).alias("train_id"), "sh")
+    ev = shingle(eval_df, text_col, k, id_col) \
+        .select(F.col(id_col).alias("eval_id"), "sh")
+    if max_shingle_df is not None:
+        tr = (tr.withColumn("_df",
+                            F.count("*").over(Window.partitionBy("sh")))
+              .filter(F.col("_df") <= max_shingle_df).drop("_df"))
+    totals = ev.groupBy("eval_id").agg(F.count("*").alias("_n_ev"))
+    return (ev.join(tr, "sh")
+            .groupBy("eval_id", "train_id")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .join(totals, "eval_id")
+            .withColumn("frac_of_eval",
+                        F.col("n_shared") / F.col("_n_ev"))
+            .drop("_n_ev"))
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",

@@ -422,3 +422,34 @@ def test_word_bigrams_counts(spark):
     assert out == {"a b": 4, "b a": 2, "b c": 1}
     top = word_bigrams(df, min_count=2).toPandas()
     assert set(top.bigram) == {"a b", "b a"}
+
+
+def test_ngram_contamination(spark):
+    from light_curve_python_spark.operators.dedup import ngram_contamination
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "one two three four five six seven"),
+         (2, "unrelated words entirely different here")],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta nine ten"),   # shares 2 trigrams w/ 0
+         (101, "nothing in common at all")],
+        ["doc_id", "text"])
+    out = ngram_contamination(train, ev, k=3,
+                              max_shingle_df=None).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.eval_id, r.train_id, r.n_shared) == (100, 0, 2)
+    # eval doc 100 has 4 trigrams; 2 shared => frac 0.5
+    assert r.frac_of_eval == pytest.approx(0.5)
+    # pruning a boilerplate shingle present in many train docs drops pairs
+    # that share ONLY it
+    boiler = [(i, "x y z filler filler2 filler3") for i in range(10, 20)]
+    train2 = spark.createDataFrame(
+        [(0, "alpha beta gamma")] + boiler, ["doc_id", "text"])
+    ev2 = spark.createDataFrame([(200, "x y z only here")],
+                                ["doc_id", "text"])
+    pruned = ngram_contamination(train2, ev2, k=3, max_shingle_df=5)
+    assert pruned.count() == 0
+    unpruned = ngram_contamination(train2, ev2, k=3, max_shingle_df=None)
+    assert unpruned.count() == 10
