@@ -1648,6 +1648,49 @@ GROUP BY eval_id, train_id
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/text.py pii_scrub) over text augmented
+    with deterministic synthetic PII (the corpus itself is clean word
+    soup, so both engines append the same doc_id-derived email/phone/IP
+    before scrubbing — exercising every pattern).  Counts are measured on
+    the original text; replacement order is fixed (email first)."""
+    from light_curve_python_spark.operators.text import pii_scrub
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@example.com or +1 555 000 "), F.col("doc_id"),
+                 F.lit(" at 10.0.0."), F.pmod(F.col("doc_id"), F.lit(256))
+                 ).alias("text"))
+    out = pii_scrub(aug)
+    return out.select("doc_id",
+                      F.col("n_email").cast("long").alias("n_email"),
+                      F.col("n_phone").cast("long").alias("n_phone"),
+                      F.col("n_ipv4").cast("long").alias("n_ipv4"),
+                      "text_clean")
+
+
+SQL_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id
+              || '@example.com or +1 555 000 ' || doc_id
+              || ' at 10.0.0.' || (doc_id % 256) AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text, '\+?[0-9][0-9() -]{7,}[0-9]')) AS n_phone,
+  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
+    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS text_clean
+FROM aug
+"""
+
+
 PACK_BLOCK = 256
 
 
@@ -1787,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_bigrams": q_word_bigrams,
         "pack_spans": q_pack_spans,
         "contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
@@ -1839,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         "word_bigrams": SQL_WORD_BIGRAMS,
         "pack_spans": SQL_PACK_SPANS,
         "contamination": SQL_CONTAMINATION,
+        "pii_scrub": SQL_PII_SCRUB,
         "lang_id": _langid_sql(),
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)

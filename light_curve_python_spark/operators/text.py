@@ -12,7 +12,17 @@ from pyspark.sql import functions as F
 
 __all__ = ["with_word_tokens", "text_quality", "language_id",
            "token_count_bpe_ish", "rolling_fingerprint", "quality_filter",
-           "word_bigrams"]
+           "word_bigrams", "pii_scrub"]
+
+# PII patterns restricted to the regex subset Java regex and RE2 share
+# (no backreferences / lookaround), so the DuckDB oracle twin runs the
+# IDENTICAL expressions
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "phone": (r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+    "ipv4": (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+}
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
 LANG_STOPWORDS: Dict[str, Sequence[str]] = {
@@ -156,6 +166,23 @@ def word_bigrams(df: DataFrame, text_col: str = "text",
               .alias("bigram")))
     return (bg.groupBy("bigram").agg(F.count("*").alias("n"))
             .filter(F.col("n") >= min_count))
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction pass: replace emails / phone-like numbers / IPv4
+    addresses with placeholder tokens and count each per document
+    (training pipelines need both the cleaned text and the incidence
+    stats for auditing).  Pure JVM regexp expressions, one scan; patterns
+    are applied in PII_PATTERNS order (email first, so phone/ip never
+    match inside an already-redacted span)."""
+    counts = [F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
+        for name, (pat, _tok) in PII_PATTERNS.items()]
+    clean = F.col(text_col)
+    for name, (pat, tok) in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, tok)
+    return df.select(id_col, *counts, clean.alias("text_clean"))
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text",

@@ -453,3 +453,22 @@ def test_ngram_contamination(spark):
     assert pruned.count() == 0
     unpruned = ngram_contamination(train2, ev2, k=3, max_shingle_df=None)
     assert unpruned.count() == 10
+
+
+def test_pii_scrub(spark):
+    from light_curve_python_spark.operators.text import pii_scrub
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.org or call +1 (555) 123-4567"),
+        (1, "server 192.168.0.1 and 10.0.0.255 no contacts"),
+        (2, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pii_scrub(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_phone"] == 1
+    assert "<EMAIL>" in out.loc[0, "text_clean"]
+    assert "<PHONE>" in out.loc[0, "text_clean"]
+    assert "jane" not in out.loc[0, "text_clean"]
+    assert out.loc[1, "n_ipv4"] == 2
+    assert out.loc[1, "text_clean"].count("<IP>") == 2
+    assert out.loc[2, ["n_email", "n_phone", "n_ipv4"]].sum() == 0
+    assert out.loc[2, "text_clean"] == "clean text with no pii at all"
