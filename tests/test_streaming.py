@@ -229,3 +229,66 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     assert sorted(got["text"]) == sorted(pdf["text"].unique())
     batch = exact_dedup(spark.createDataFrame(pdf), ["text"]).toPandas()
     assert set(got["text"]) == set(batch["text"])
+
+
+def test_streaming_pit_features_match_batch(spark, tmp_path):
+    """Running PIT features via applyInPandasWithState: availableNow over
+    two files == per-row expanding-window reference, state carrying
+    across micro-batch boundaries; zero leakage by construction."""
+    import numpy as np
+    from light_curve_python_spark.streaming.features import (
+        STREAM_FEATURE_NAMES,
+        streaming_pit_features,
+    )
+    rng = np.random.default_rng(4)
+    frames = []
+    for e in range(3):
+        n = 40
+        frames.append(pd.DataFrame({
+            "doc_id": f"e{e}",
+            "t": np.sort(rng.choice(np.arange(1000), n, replace=False))
+            .astype(float),
+            "m": rng.uniform(15, 21, n),
+            "sigma": rng.uniform(0.01, 0.2, n)}))
+    pdf = pd.concat(frames, ignore_index=True) \
+        .sort_values(["t"]).reset_index(drop=True)
+    src = str(tmp_path / "src")
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, t double, m double, sigma double").parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (streaming_pit_features(stream)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas() \
+        .sort_values(["doc_id", "t"]).reset_index(drop=True)
+    assert len(got) == len(pdf)
+    for e, grp in pdf.groupby("doc_id"):
+        grp = grp.sort_values("t")
+        g = got[got.doc_id == e].reset_index(drop=True)
+        t = grp.t.to_numpy()
+        m = grp.m.to_numpy()
+        w = grp.sigma.to_numpy() ** -2.0
+        for i in range(len(grp)):
+            pref_m, pref_t, pref_w = m[:i + 1], t[:i + 1], w[:i + 1]
+            want = {
+                "observation_count": i + 1.0,
+                "mean": pref_m.mean(),
+                "standard_deviation": (np.std(pref_m, ddof=1)
+                                       if i > 0 else np.nan),
+                "amplitude": 0.5 * (pref_m.max() - pref_m.min()),
+                "weighted_mean": (pref_w * pref_m).sum() / pref_w.sum(),
+                "duration": pref_t[-1] - pref_t[0],
+                "maximum_time_interval": (np.diff(pref_t).max()
+                                          if i > 0 else np.nan),
+            }
+            for k in STREAM_FEATURE_NAMES:
+                np.testing.assert_allclose(
+                    g.loc[i, k], want[k], rtol=1e-8, equal_nan=True,
+                    err_msg=f"{e} row {i} {k}")
