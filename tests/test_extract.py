@@ -320,3 +320,58 @@ def test_float32_input_parity(spark):
     # on 200-point windows; 2e-3 bounds that while still catching any
     # dtype-dependent code path divergence
     np.testing.assert_allclose(a.to_numpy(), b.to_numpy(), rtol=2e-3)
+
+
+def test_extract_grouped_batches_equals_per_group(spark):
+    """The many-entities-per-call mapInPandas path must be value-identical
+    to the one-call-per-group applyInPandas path, including when entities
+    straddle Arrow batch boundaries (forced tiny batches)."""
+    import pandas as pd
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    rng = np.random.default_rng(7)
+    frames = []
+    for e in range(25):
+        n = int(rng.integers(2, 30))
+        frames.append(pd.DataFrame({
+            "doc_id": f"e{e:02d}",
+            "t": np.sort(rng.uniform(0, 100, n)),
+            "m": rng.uniform(15, 21, n),
+            "sigma": rng.uniform(0.01, 0.2, n)}))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    ex = FeatureExtractor(["amplitude", "mean", "standard_deviation",
+                           "stetson_k", "linear_fit", "otsu_split",
+                           "inter_percentile_range"])
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # tiny batches: most entities straddle a batch boundary, so the
+        # carry path is exercised hard
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        a = ex.extract(df, band_col=None).toPandas() \
+            .set_index("doc_id").sort_index()
+        b = ex.extract(df, band_col=None, grouped_batches=False) \
+            .toPandas().set_index("doc_id").sort_index()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert list(a.index) == list(b.index)
+    np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+
+def test_extract_grouped_batches_banded(spark):
+    import pandas as pd
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    rng = np.random.default_rng(8)
+    frames = []
+    for e in range(8):
+        n = 40
+        frames.append(pd.DataFrame({
+            "doc_id": f"e{e}",
+            "t": np.sort(rng.uniform(0, 100, n)),
+            "m": rng.uniform(15, 21, n),
+            "sigma": rng.uniform(0.01, 0.2, n),
+            "band": rng.choice(["g", "r"], n)}))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    ex = FeatureExtractor(["mean", "amplitude"], bands=["g", "r"])
+    a = ex.extract(df).toPandas().set_index("doc_id").sort_index()
+    b = ex.extract(df, grouped_batches=False).toPandas() \
+        .set_index("doc_id").sort_index()
+    np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
