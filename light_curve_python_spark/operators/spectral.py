@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 from ..functions.kernels import periodogram_power
 from .dmdt import (count_dt_kernel, dmdt_gausses_kernel, dmdt_points_kernel,
                    normalize_dmdt)
+from .grouped import grouped_map_batches
 
 __all__ = ["periodogram_freq_power", "multiband_periodogram",
            "multiband_power", "dmdt_maps", "rainbow_fit"]
@@ -50,8 +51,8 @@ def periodogram_freq_power(obs: DataFrame, entity_col: str = "doc_id",
         return pd.DataFrame({entity_col: [pdf[entity_col].iloc[0]],
                              "freqs": [freqs], "power": [power]})
 
-    return obs.select(entity_col, t_col, m_col) \
-        .groupBy(entity_col).applyInPandas(fn, schema)
+    return grouped_map_batches(obs.select(entity_col, t_col, m_col),
+                               entity_col, schema, fn)
 
 
 def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
@@ -139,8 +140,9 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
             out[n] = [v]
         return pd.DataFrame(out)
 
-    return obs.select(entity_col, t_col, m_col, sigma_col, band_col) \
-        .groupBy(entity_col).applyInPandas(fn, schema)
+    return grouped_map_batches(
+        obs.select(entity_col, t_col, m_col, sigma_col, band_col),
+        entity_col, schema, fn)
 
 
 def multiband_power(obs: DataFrame, bands: Sequence[str],
@@ -198,8 +200,9 @@ def multiband_power(obs: DataFrame, bands: Sequence[str],
             "freq_idx": np.arange(len(freqs_arr), dtype=np.int64),
             "power": num / den})
 
-    return obs.select(entity_col, t_col, m_col, sigma_col, band_col) \
-        .groupBy(entity_col).applyInPandas(fn, schema)
+    return grouped_map_batches(
+        obs.select(entity_col, t_col, m_col, sigma_col, band_col),
+        entity_col, schema, fn)
 
 
 def dmdt_maps(obs: DataFrame, entity_col: str = "doc_id", t_col: str = "t",
@@ -244,7 +247,7 @@ def dmdt_maps(obs: DataFrame, entity_col: str = "doc_id", t_col: str = "t",
                              "n_dt": [hist.shape[0]],
                              "n_dm": [hist.shape[1]]})
 
-    return obs.select(*cols).groupBy(entity_col).applyInPandas(fn, schema)
+    return grouped_map_batches(obs.select(*cols), entity_col, schema, fn)
 
 
 def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
@@ -313,5 +316,4 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
     cols = [entity_col, t_col, m_col, sigma_col, band_col]
     if upper_limit_col is not None:
         cols.append(upper_limit_col)
-    return (obs.select(*cols)
-            .groupBy(entity_col).applyInPandas(fn, schema))
+    return grouped_map_batches(obs.select(*cols), entity_col, schema, fn)
