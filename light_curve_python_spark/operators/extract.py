@@ -181,8 +181,7 @@ class FeatureExtractor:
             out = pruned.groupBy(entity_col).applyInPandas(fn_group, schema)
             return self._apply_transforms(out)
 
-        part = pruned.repartition(F.col(entity_col)) \
-            .sortWithinPartitions(entity_col, t_col)
+        from .grouped import grouped_map_batches
 
         def process(pdf: pd.DataFrame) -> pd.DataFrame:
             ids, vecs = [], []
@@ -196,27 +195,7 @@ class FeatureExtractor:
             out.insert(0, entity_col, ids)
             return out
 
-        def fn(batches):
-            carry = None
-            for pdf in batches:
-                if carry is not None and len(carry):
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                if not len(pdf):
-                    continue
-                # rows are entity-sorted within the partition, so the
-                # batch's last entity is a contiguous suffix — defer it
-                # (it may continue in the next Arrow batch)
-                mask = (pdf[entity_col] == pdf[entity_col].iloc[-1]) \
-                    .to_numpy()
-                cut = len(pdf) - int(mask.sum())
-                carry = pdf.iloc[cut:]
-                body = pdf.iloc[:cut]
-                if len(body):
-                    yield process(body)
-            if carry is not None and len(carry):
-                yield process(carry)
-
-        out = part.mapInPandas(fn, schema)
+        out = grouped_map_batches(pruned, entity_col, schema, process)
         return self._apply_transforms(out)
 
     # ---- point-in-time extraction ----------------------------------------

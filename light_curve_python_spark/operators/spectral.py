@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 from ..functions.kernels import periodogram_power
 from .dmdt import (count_dt_kernel, dmdt_gausses_kernel, dmdt_points_kernel,
                    normalize_dmdt)
-from .grouped import grouped_map_batches
+from .grouped import grouped_map_batches, per_group
 
 __all__ = ["periodogram_freq_power", "multiband_periodogram",
            "multiband_power", "dmdt_maps", "rainbow_fit"]
@@ -52,7 +52,8 @@ def periodogram_freq_power(obs: DataFrame, entity_col: str = "doc_id",
                              "freqs": [freqs], "power": [power]})
 
     return grouped_map_batches(obs.select(entity_col, t_col, m_col),
-                               entity_col, schema, fn)
+                               entity_col, schema,
+                               per_group(entity_col, fn))
 
 
 def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
@@ -142,7 +143,7 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
 
     return grouped_map_batches(
         obs.select(entity_col, t_col, m_col, sigma_col, band_col),
-        entity_col, schema, fn)
+        entity_col, schema, per_group(entity_col, fn))
 
 
 def multiband_power(obs: DataFrame, bands: Sequence[str],
@@ -202,7 +203,7 @@ def multiband_power(obs: DataFrame, bands: Sequence[str],
 
     return grouped_map_batches(
         obs.select(entity_col, t_col, m_col, sigma_col, band_col),
-        entity_col, schema, fn)
+        entity_col, schema, per_group(entity_col, fn))
 
 
 def dmdt_maps(obs: DataFrame, entity_col: str = "doc_id", t_col: str = "t",
@@ -247,7 +248,8 @@ def dmdt_maps(obs: DataFrame, entity_col: str = "doc_id", t_col: str = "t",
                              "n_dt": [hist.shape[0]],
                              "n_dm": [hist.shape[1]]})
 
-    return grouped_map_batches(obs.select(*cols), entity_col, schema, fn)
+    return grouped_map_batches(obs.select(*cols), entity_col, schema,
+                               per_group(entity_col, fn))
 
 
 def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
@@ -316,4 +318,5 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
     cols = [entity_col, t_col, m_col, sigma_col, band_col]
     if upper_limit_col is not None:
         cols.append(upper_limit_col)
-    return grouped_map_batches(obs.select(*cols), entity_col, schema, fn)
+    return grouped_map_batches(obs.select(*cols), entity_col, schema,
+                               per_group(entity_col, fn))

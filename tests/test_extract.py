@@ -331,7 +331,9 @@ def test_extract_grouped_batches_equals_per_group(spark):
     rng = np.random.default_rng(7)
     frames = []
     for e in range(25):
-        n = int(rng.integers(2, 30))
+        # e07 is a giant entity spanning MANY forced-tiny Arrow batches,
+        # exercising the carry buffer's whole-batch continuation path
+        n = 80 if e == 7 else int(rng.integers(2, 30))
         frames.append(pd.DataFrame({
             "doc_id": f"e{e:02d}",
             "t": np.sort(rng.uniform(0, 100, n)),
