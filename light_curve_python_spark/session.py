@@ -15,7 +15,8 @@ from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# empty-string env (e.g. `SPARK_GRAFT_CPUS= spark-submit ...`) means unset
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS") or "32")
 
 
 def _local_dirs() -> Optional[str]:
@@ -42,7 +43,7 @@ def get_spark(master: Optional[str] = None,
         # only default to local[...] when the env pins a local run
         # (tests/bench set SPARK_GRAFT_CPUS) so the CLI entrypoint never
         # silently overrides the cluster master
-        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or None
         if cpus:
             master = f"local[{cpus}]"
         elif "PYSPARK_GATEWAY_PORT" not in os.environ \
