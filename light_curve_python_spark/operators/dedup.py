@@ -149,8 +149,8 @@ def ngram_contamination(train: DataFrame, eval_df: DataFrame,
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3, n_hashes: int = 16,
-                  n_bands: int = 4, threshold: float = 0.8,
-                  max_shingle_df: Optional[int] = 256) -> DataFrame:
+                  n_bands: int = 4,
+                  threshold: float = 0.8) -> DataFrame:
     """End-to-end MinHash near-duplicate dedup — the full pipeline a
     training-data run needs, composed from the verified pieces:
 
@@ -158,13 +158,16 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
        (``minhash_signatures`` / ``lsh_candidates``): candidate pairs
        must collide in >=1 of ``n_bands`` bands;
     2. exact Jaccard verification on the FULL shingle sets (LSH stays a
-       pure candidate generator — no false positive survives);
+       pure candidate generator — no false positive survives; unlike the
+       inverted-index candidate path, LSH bounds the pair fan-out by
+       construction, so no df pruning is needed — or sound — here:
+       pruning the verify sets would INFLATE scores for docs sharing hot
+       boilerplate and merge non-duplicates);
     3. connected components over verified pairs, min-id canonical per
        group (``connected_components``).
 
     Returns ``(id, component, is_canonical)`` covering EVERY input doc
-    (singletons are their own canonical).  ``max_shingle_df`` bounds the
-    verify-join fan-out at scale (see ngram_jaccard_pairs).
+    (singletons are their own canonical).
 
     Scale shape: signatures are one explode + map-side-combined min agg;
     LSH candidates a band-bucket equi-join; verification touches only
@@ -175,12 +178,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
             for i in range(n_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)   # shingles reused by the verify
     cand = lsh_candidates(sig, id_col, n_hashes=n_hashes, bands=n_bands)
-    idx = sh
-    if max_shingle_df is not None:
-        idx = (sh.withColumn("_df",
-                             F.count("*").over(Window.partitionBy("sh")))
-               .filter(F.col("_df") <= max_shingle_df).drop("_df"))
-    sets = idx.groupBy(id_col).agg(F.collect_set("sh").alias("_set"))
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_set"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     verified = (cand
                 .join(sets.select(F.col(id_col).alias("id_a"),

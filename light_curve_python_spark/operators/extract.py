@@ -185,7 +185,8 @@ class FeatureExtractor:
 
         def process(pdf: pd.DataFrame) -> pd.DataFrame:
             ids, vecs = [], []
-            for key, grp in pdf.groupby(entity_col, sort=False):
+            for key, grp in pdf.groupby(entity_col, sort=False,
+                                        dropna=False):
                 t, m, s, codes = this._prepare_arrays(
                     grp, t_col, m_col, sigma_col, band_col)
                 vecs.append(this._eval_window(t, m, s) if codes is None

@@ -30,11 +30,21 @@ def per_group(entity_col: str,
     contract (a frame holding one or more COMPLETE groups)."""
     def process(body: pd.DataFrame) -> pd.DataFrame:
         outs = [fn_group(g)
-                for _, g in body.groupby(entity_col, sort=False)]
+                for _, g in body.groupby(entity_col, sort=False,
+                                         dropna=False)]
         outs = [o for o in outs if len(o)]
         return pd.concat(outs, ignore_index=True) if outs \
             else pd.DataFrame()
     return process
+
+
+def _same_key(a, b) -> bool:
+    """Null-safe key equality: a null entity key is one group (matching
+    groupBy().applyInPandas semantics), and NaN != NaN would otherwise
+    split it across batch boundaries."""
+    if pd.isna(a) or pd.isna(b):
+        return bool(pd.isna(a) and pd.isna(b))
+    return bool(a == b)
 
 
 def grouped_map_batches(df: DataFrame, entity_col: str, schema,
@@ -56,8 +66,10 @@ def grouped_map_batches(df: DataFrame, entity_col: str, schema,
             if not len(pdf):
                 continue
             first = pdf[entity_col].iloc[0]
-            if buf and first == buf_key:
-                head_mask = (pdf[entity_col] == buf_key).to_numpy()
+            if buf and _same_key(first, buf_key):
+                keys = pdf[entity_col]
+                head_mask = (keys.isna() if pd.isna(buf_key)
+                             else (keys == buf_key)).to_numpy()
                 n_head = int(head_mask.sum())
                 if n_head == len(pdf):
                     buf.append(pdf)     # entity still not finished
@@ -75,7 +87,9 @@ def grouped_map_batches(df: DataFrame, entity_col: str, schema,
                 buf, buf_key = [], None
             # defer the batch's last entity (a contiguous suffix)
             last = pdf[entity_col].iloc[-1]
-            tail_mask = (pdf[entity_col] == last).to_numpy()
+            keys = pdf[entity_col]
+            tail_mask = (keys.isna() if pd.isna(last)
+                         else (keys == last)).to_numpy()
             cut = len(pdf) - int(tail_mask.sum())
             body = pdf.iloc[:cut]
             buf = [pdf.iloc[cut:]]

@@ -38,16 +38,26 @@ def pack_spans(df: DataFrame, block_tokens: int,
     for small/demo data (a single global sort).  Docs with 0 tokens emit
     no span."""
     order_col = order_col or id_col
+    # explicit ROWS frame + id tiebreak: the default frame with orderBy is
+    # RANGE ... CURRENT ROW, which lumps rows TIED on order_col into one
+    # cumulative sum — two docs sharing a timestamp would then get
+    # overlapping spans; ROWS with a deterministic total order (order_col,
+    # id) gives each doc its own exclusive prefix
+    order = [order_col] if order_col == id_col else [order_col, id_col]
     if partition_col is not None:
-        w = Window.partitionBy(partition_col).orderBy(order_col)
+        w = Window.partitionBy(partition_col).orderBy(*order)
         part_cols = [partition_col]
     else:
-        w = Window.orderBy(order_col)
+        w = Window.orderBy(*order)
         part_cols = []
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n = F.col(n_tok_col)
     prev = (F.sum(n_tok_col).over(w) - n).alias("_prev")
     b = F.lit(block_tokens)
-    d = (df.select(*part_cols, id_col, n_tok_col)
+    sel = [*part_cols, id_col, n_tok_col]
+    if order_col != id_col:
+        sel.append(order_col)
+    d = (df.select(*sel)
          .withColumn("_prev", prev)
          .filter(n > 0)
          .withColumn("block_id",
@@ -86,9 +96,13 @@ def pack_tokens(df: DataFrame, block_tokens: int,
     piece = F.slice(F.col(tokens_col),
                     (F.col("tok_start") + 1).cast("int"),
                     (F.col("tok_end") - F.col("tok_start")).cast("int"))
+    # sort key mirrors the span window's total order (order_col, id):
+    # with ties on order_col the id tiebreak keeps the concatenation
+    # order identical to the span assignment
     keyed = joined.select(
         *part_cols, "block_id",
         F.struct(F.col(order_col).alias("o"),
+                 F.col(id_col).alias("i"),
                  piece.alias("p")).alias("_kp"))
     return (keyed.groupBy(*part_cols, "block_id")
             .agg(F.flatten(F.transform(

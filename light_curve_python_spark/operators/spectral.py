@@ -284,6 +284,14 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
     if with_errors:
         names += [f"{n}_err" for n in names]
     names += ["r_chisq"]
+    # the fill/finite gate applies to the VALUE outputs; an error column
+    # is legitimately +inf for a parameter the data cannot constrain
+    # (lm_errors' documented flat-direction contract) and must not nuke
+    # an otherwise-converged row
+    value_idx = np.array([i for i, nm in enumerate(names)
+                          if not nm.endswith("_err")])
+    err_idx = np.array([i for i, nm in enumerate(names)
+                        if nm.endswith("_err")], dtype=int)
     schema = T.StructType(
         [obs.schema[entity_col]]
         + [T.StructField(n, T.DoubleType(), True) for n in names])
@@ -304,7 +312,8 @@ def rainbow_fit(obs: DataFrame, band_wave_cm, entity_col: str = "doc_id",
                     n_starts=n_starts, bolometric=bolometric,
                     temperature=temperature, spectral=spectral,
                     upper_mask=mask, with_errors=with_errors)
-            if not np.all(np.isfinite(vec)):
+            if not np.all(np.isfinite(vec[value_idx])) \
+                    or (len(err_idx) and np.any(np.isnan(vec[err_idx]))):
                 raise ValueError("non-finite fit")
         except (ValueError, KeyError, ZeroDivisionError, RuntimeError,
                 FloatingPointError, np.linalg.LinAlgError):

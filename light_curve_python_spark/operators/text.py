@@ -45,11 +45,10 @@ def with_word_tokens(df: DataFrame, text_col: str = "text",
                           lambda w: w != ""))
 
 
-def text_quality(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Per-doc quality metrics: word/char counts, mean word length,
-    punctuation + uppercase + stopword ratios, type-token ratio."""
-    d = with_word_tokens(df, text_col)
+def _quality_signals(text_col: str):
+    """The shared signal expressions (over a ``words`` column produced by
+    with_word_tokens): single source of truth for text_quality,
+    quality_filter, and the DuckDB oracle twin's closed forms."""
     words = F.col("words")
     n_words = F.size(words)
     n_chars = F.length(text_col)
@@ -57,19 +56,39 @@ def text_quality(df: DataFrame, text_col: str = "text",
         words, lambda w: w.isin(*LANG_STOPWORDS["en"])))
     n_punct = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    avg_word_len = (F.aggregate(words, F.lit(0),
+                                lambda acc, w: acc + F.length(w))
+                    / n_words)
+    return {
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "avg_word_len": avg_word_len,
+        "stopword_ratio": stop / n_words,
+        "punct_ratio": n_punct / n_chars,
+    }
+
+
+def text_quality(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality metrics: word/char counts, mean word length,
+    punctuation + uppercase + stopword ratios, type-token ratio."""
+    d = with_word_tokens(df, text_col)
+    words = F.col("words")
+    sig = _quality_signals(text_col)
+    n_chars = sig["n_chars"]
     n_upper = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
     return d.select(
         id_col,
-        n_words.alias("n_words"),
+        sig["n_words"].alias("n_words"),
         n_chars.alias("n_chars"),
         F.size(F.array_distinct(words)).alias("n_distinct_words"),
-        (F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
-         / n_words).alias("avg_word_len"),
-        (stop / n_words).alias("stopword_ratio"),
-        (n_punct / n_chars).alias("punct_ratio"),
+        sig["avg_word_len"].alias("avg_word_len"),
+        sig["stopword_ratio"].alias("stopword_ratio"),
+        sig["punct_ratio"].alias("punct_ratio"),
         (n_upper / n_chars).alias("upper_ratio"),
-        (F.size(F.array_distinct(words)) / n_words).alias("type_token_ratio"),
+        (F.size(F.array_distinct(words)) / sig["n_words"])
+        .alias("type_token_ratio"),
     )
 
 
@@ -125,20 +144,11 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     signal columns and a ``keep`` flag — filter on ``keep`` (kept as a
     column so reject-reason analytics stay one groupBy away)."""
     d = with_word_tokens(df, text_col)
-    words = F.col("words")
-    n_words = F.size(words)
-    n_chars = F.length(text_col)
-    stop = F.size(F.filter(words,
-                           lambda w: w.isin(*LANG_STOPWORDS["en"])))
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    d = (d.withColumn("n_words", n_words)
-         .withColumn("avg_word_len",
-                     F.aggregate(words, F.lit(0),
-                                 lambda acc, w: acc + F.length(w))
-                     / F.col("n_words"))
-         .withColumn("punct_ratio", n_punct / n_chars)
-         .withColumn("stopword_ratio", stop / F.col("n_words")))
+    sig = _quality_signals(text_col)
+    d = (d.withColumn("n_words", sig["n_words"])
+         .withColumn("avg_word_len", sig["avg_word_len"])
+         .withColumn("punct_ratio", sig["punct_ratio"])
+         .withColumn("stopword_ratio", sig["stopword_ratio"]))
     keep = ((F.col("n_words") >= min_words)
             & (F.col("n_words") <= max_words)
             & (F.col("avg_word_len") >= min_avg_word_len)

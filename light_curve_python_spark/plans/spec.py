@@ -31,7 +31,12 @@ class FeatureSpec:
 
     def __post_init__(self):
         from ..functions.kernels import ensure_lazy_factories
-        for f in self.features:
+        # own copies: the spec is advertised immutable, so normalization
+        # below must not write through to caller-supplied dicts
+        feats = [{"name": f["name"], "params": dict(f.get("params", {}))}
+                 for f in self.features]
+        object.__setattr__(self, "features", feats)
+        for f in feats:
             ensure_lazy_factories(f["name"])
             if f["name"] not in KERNEL_FACTORIES:
                 raise ValueError(f"unknown feature: {f['name']}")

@@ -19,6 +19,28 @@ __all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS") or "32")
 
 
+def _defaults_conf_has_master() -> bool:
+    """True when a spark-defaults.conf visible to this process pins
+    spark.master — the builder must then leave master unset so the conf
+    file wins (a local[*] fallback would silently run cluster-configured
+    jobs locally)."""
+    conf_dir = os.environ.get("SPARK_CONF_DIR")
+    if not conf_dir and os.environ.get("SPARK_HOME"):
+        conf_dir = os.path.join(os.environ["SPARK_HOME"], "conf")
+    if not conf_dir:
+        return False
+    path = os.path.join(conf_dir, "spark-defaults.conf")
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("spark.master"):
+                    return True
+    except OSError:
+        return False
+    return False
+
+
 def _local_dirs() -> Optional[str]:
     """Fast local storage for shuffle files.  The container's overlay fs is
     pathologically slow for shuffle I/O (7x slowdown measured); /dev/shm
@@ -48,10 +70,11 @@ def get_spark(master: Optional[str] = None,
             master = f"local[{cpus}]"
         elif "PYSPARK_GATEWAY_PORT" not in os.environ \
                 and "SPARK_MASTER" not in os.environ \
-                and "MASTER" not in os.environ:
+                and "MASTER" not in os.environ \
+                and not _defaults_conf_has_master():
             # plain `python script.py` (no spark-submit gateway, no master
-            # env): getOrCreate would fail with "master URL must be set" —
-            # keep the interactive default
+            # env, no spark-defaults.conf master): getOrCreate would fail
+            # with "master URL must be set" — keep the interactive default
             master = "local[*]"
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = SparkSession.builder

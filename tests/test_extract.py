@@ -377,3 +377,30 @@ def test_extract_grouped_batches_banded(spark):
     b = ex.extract(df, grouped_batches=False).toPandas() \
         .set_index("doc_id").sort_index()
     np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+
+def test_extract_null_entity_key_parity(spark):
+    """Null entity keys form one group in BOTH extract paths (pandas
+    groupby would silently drop them without dropna=False — round-3
+    review finding)."""
+    import pandas as pd
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    rng = np.random.default_rng(9)
+    frames = []
+    for e in ["a", None, "b"]:
+        n = 12
+        frames.append(pd.DataFrame({
+            "doc_id": [e] * n,
+            "t": np.sort(rng.uniform(0, 100, n)),
+            "m": rng.uniform(15, 21, n),
+            "sigma": rng.uniform(0.01, 0.2, n)}))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    ex = FeatureExtractor(["mean", "amplitude"])
+    a = ex.extract(df, band_col=None).toPandas()
+    b = ex.extract(df, band_col=None, grouped_batches=False).toPandas()
+    assert len(a) == 3 and len(b) == 3
+    av = a.sort_values("mean").reset_index(drop=True)
+    bv = b.sort_values("mean").reset_index(drop=True)
+    np.testing.assert_allclose(av[["mean", "amplitude"]].to_numpy(),
+                               bv[["mean", "amplitude"]].to_numpy())
+    assert a.doc_id.isna().sum() == 1

@@ -127,3 +127,29 @@ def test_rainbow_errors_through_spark_operator(spark):
     assert list(got.columns)[-1] == "r_chisq"
     # sanity: T error is a small fraction of T on this well-sampled curve
     assert got["T_err"].iloc[0] < 0.2 * got["T"].iloc[0]
+
+
+def test_missing_band_keeps_row_with_inf_error(spark):
+    """An entity observed in only one configured band: the fit converges
+    (the absent band's baseline is pinned), its error is legitimately
+    +inf — the row must survive, not fall to fill_value (round-3 review
+    finding)."""
+    import pandas as pd
+    from light_curve_python_spark.operators.spectral import rainbow_fit
+    avg_nu = 2.99792458e10 / float(np.mean(list(WAVES.values())))
+    rng = np.random.default_rng(6)
+    n = 160
+    t = np.sort(rng.uniform(0, 200, n))
+    band = np.full(n, "g")
+    wave_cm = np.full(n, WAVES["g"])
+    flux = rainbow_model(t, wave_cm, avg_nu, 60.0, 8.0, 5.0, 20.0,
+                         8000.0, 0.3, 10.0) + 0.3
+    sigma = np.full(n, 0.02 * flux.max())
+    m = flux + sigma * rng.normal(size=n)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": "d0", "t": t, "m": m, "sigma": sigma, "band": band}))
+    got = rainbow_fit(df, WAVES, with_errors=True).toPandas()
+    assert np.isfinite(got["amplitude"].iloc[0])       # fit survived
+    assert got["r_chisq"].iloc[0] < 2.0
+    assert np.isinf(got["baseline_r_err"].iloc[0])     # unconstrained
+    assert np.isfinite(got["baseline_g_err"].iloc[0])

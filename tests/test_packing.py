@@ -78,3 +78,34 @@ def test_pack_spans_global_order(spark, corpus):
     # single global stream: block 0 exists and spans are contiguous
     assert out.block_id.min() == 0
     assert (out.tok_end > out.tok_start).all()
+
+
+def test_pack_spans_ties_on_order_col(spark):
+    """Rows tied on order_col must still get exclusive prefixes (ROWS
+    frame + id tiebreak), not the RANGE-frame lumped cumsum."""
+    rows = [(0, "s", 5.0, 10), (1, "s", 5.0, 10), (2, "s", 5.0, 10),
+            (3, "s", 7.0, 10)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "source", "ts", "n_tok"])
+    out = pack_spans(df, 16, order_col="ts").toPandas() \
+        .sort_values(["doc_id", "block_id"]).reset_index(drop=True)
+    # stream = doc0[0:10) doc1[10:20) doc2[20:30) doc3[30:40), blocks of 16
+    got = [tuple(x) for x in
+           out[["doc_id", "block_id", "tok_start", "tok_end"]].to_numpy()]
+    assert got == [(0, 0, 0, 10), (1, 0, 0, 6), (1, 1, 6, 10),
+                   (2, 1, 0, 10), (3, 1, 0, 2), (3, 2, 2, 10)]
+
+
+def test_pack_tokens_ties_byte_exact(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["s"] * 3,
+        "ts": [3.0, 3.0, 3.0],
+        "tokens": [list(range(0, 7)), list(range(10, 15)),
+                   list(range(20, 29))]})
+    df = spark.createDataFrame(pdf)
+    got = pack_tokens(df, 8, order_col="ts").toPandas() \
+        .sort_values("block_id")
+    stream = [t for toks in pdf.tokens for t in toks]
+    assert [t for blk in got.tokens for t in blk] == stream
+    assert got.tokens.map(len).tolist()[:-1] == [8, 8]

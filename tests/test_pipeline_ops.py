@@ -472,3 +472,32 @@ def test_pii_scrub(spark):
     assert out.loc[1, "text_clean"].count("<IP>") == 2
     assert out.loc[2, ["n_email", "n_phone", "n_ipv4"]].sum() == 0
     assert out.loc[2, "text_clean"] == "clean text with no pii at all"
+
+
+def test_feature_spec_does_not_mutate_caller_dicts():
+    params = {}
+    feats = [{"name": "periodogram", "params": params}]
+    sp = FeatureSpec(feats)
+    assert sp.features[0]["params"]["fast"] is True   # normalized copy
+    assert params == {}                               # caller untouched
+    assert feats[0]["params"] is params
+
+
+def test_minhash_dedup_hot_boilerplate_not_merged(spark):
+    """Verification runs on FULL shingle sets: docs sharing only a hot
+    boilerplate template with true Jaccard below threshold must NOT be
+    merged (round-3 review finding: pruned verify sets would inflate the
+    score to 1.0)."""
+    from light_curve_python_spark.operators.dedup import minhash_dedup
+    boiler = "standard footer text common to every page here"
+    rows = [(0, "rare alpha beta gamma delta content " + boiler),
+            (1, "other unique words entirely different stuff " + boiler)]
+    rows += [(i, f"filler{i} junk{i} page{i} " + boiler)
+             for i in range(2, 12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_dedup(df, k=2, n_hashes=16, n_bands=16,
+                        threshold=0.6).toPandas().set_index("id")
+    # docs 0 and 1 share ONLY boilerplate shingles; true jaccard << 0.6
+    assert out.loc[0, "component"] != out.loc[1, "component"] \
+        or out.loc[0, "component"] == 0 and out.loc[1, "component"] == 1
+    assert bool(out.loc[1, "is_canonical"])
