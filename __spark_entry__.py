@@ -1436,15 +1436,15 @@ RAINBOW_GOLDEN = {
              "T": 8780.825696, "T_amplitude": 0.260722,
              "t_color": 8.681108, "baseline_g": 0.424853,
              "baseline_r": 0.166201, "r_chisq": 0.516155},
-    "doc2": {"reference_time": 79.492625, "amplitude": 10.091353,
-             "rise_time": 7.252498, "fall_time": 24.419678,
-             "T": 9525.529973, "T_amplitude": 0.315451,
-             "t_color": 8.244638, "baseline_g": 0.465812,
+    "doc2": {"reference_time": 79.492629, "amplitude": 10.091353,
+             "rise_time": 7.252496, "fall_time": 24.419677,
+             "T": 9525.526177, "T_amplitude": 0.315451,
+             "t_color": 8.244655, "baseline_g": 0.465812,
              "baseline_r": 0.196711, "r_chisq": 0.498543},
-    "doc3": {"reference_time": 90.507912, "amplitude": 10.871949,
-             "rise_time": 8.151626, "fall_time": 26.171869,
-             "T": 9260.125915, "T_amplitude": 0.276687,
-             "t_color": 8.75108, "baseline_g": 0.48371,
+    "doc3": {"reference_time": 90.507918, "amplitude": 10.871949,
+             "rise_time": 8.151624, "fall_time": 26.171864,
+             "T": 9260.122009, "T_amplitude": 0.276687,
+             "t_color": 8.751108, "baseline_g": 0.48371,
              "baseline_r": 0.174682, "r_chisq": 0.528585},
 }
 
@@ -1606,10 +1606,21 @@ def q_word_bigrams(spark, sf_dir):
     return out.select("bigram", F.col("n").cast("long").alias("n"))
 
 
-SQL_WORD_BIGRAMS = f"""
-WITH {WORDS_SQL.strip()}
+# adjacency must use DENSE positions over the FILTERED word list (raw
+# positions would break on runs of whitespace: 'foo  bar' has pos 1,3 and
+# the pos+1 join would silently miss the pair the Spark operator emits);
+# the \s+ split matches with_word_tokens exactly
+SQL_WORD_BIGRAMS = r"""
+WITH wr AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS ord
+  FROM documents),
+wordsd AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM wr WHERE w <> '')
 SELECT a.w || ' ' || b.w AS bigram, count(*) AS n
-FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+FROM wordsd a JOIN wordsd b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 GROUP BY 1 HAVING count(*) >= 3
 """
 
@@ -1634,10 +1645,13 @@ def q_contamination(spark, sf_dir):
 
 SQL_CONTAMINATION = f"""
 WITH {WORDS_SQL.strip()},
+wd AS (SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS dpos
+       FROM words),
 sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-       FROM words a
-       JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       FROM wd a
+       JOIN wd b ON a.doc_id = b.doc_id AND b.dpos = a.dpos + 1
+       JOIN wd c ON a.doc_id = c.doc_id AND c.dpos = a.dpos + 2),
 tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 10 <> 0),
 evs AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 10 = 0),
 tot AS (SELECT eval_id, count(*) AS n_ev FROM evs GROUP BY eval_id)

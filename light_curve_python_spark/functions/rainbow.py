@@ -559,9 +559,15 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
         p, chi2 = levenberg_marquardt(model, ts, ms, w, pj, lower, upper,
                                       max_iter=max_iter, ln_priors=priors,
                                       upper_mask=upper_mask)
-        if best is None or chi2 < best[1]:
-            best = (p, chi2)
-    p, chi2 = best
+        # select on the MAP cost the LM minimized (chi2 + prior penalty),
+        # not the data chi2 alone — otherwise a start that rails a
+        # prior-anchored parameter for a marginal chi2 gain would win and
+        # silently neuter the prior; the REPORTED r_chisq stays data-only
+        pen = -2.0 * sum(pr(x) for pr, x in zip(priors, p))
+        cost = chi2 + pen
+        if best is None or cost < best[0]:
+            best = (cost, p, chi2)
+    _, p, chi2 = best
 
     # ---- unscale (declared scalings; _base.py:202-231) ---------------------
     out = np.empty(n_par + 1 + (n_par if with_errors else 0))

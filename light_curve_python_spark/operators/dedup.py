@@ -173,12 +173,22 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     LSH candidates a band-bucket equi-join; verification touches only
     candidate pairs; grouping is O(log n) bounded hash-join rounds.  No
     all-pairs stage anywhere."""
+    # one explode + one per-doc shuffle TOTAL: collect the shingle set
+    # once, then derive the minhash columns from the set column JVM-side
+    # (min over per-seed hashes of a doc's distinct shingles == the
+    # explode-side min agg) — lazily recomputing the shingle explode for
+    # the signature AND the verify would double the most expensive stage
     sh = shingle(df, text_col, k, id_col)
-    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
-            for i in range(n_hashes)]
-    sig = sh.groupBy(id_col).agg(*aggs)   # shingles reused by the verify
-    cand = lsh_candidates(sig, id_col, n_hashes=n_hashes, bands=n_bands)
     sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_set"))
+
+    def _mh(i):
+        # closure factory: a default-arg lambda would be misparsed as the
+        # two-parameter (element, index) HOF form
+        return F.array_min(F.transform(
+            "_set", lambda s: F.xxhash64(s, F.lit(i)))).alias(f"mh{i}")
+
+    sig = sets.select(id_col, *[_mh(i) for i in range(n_hashes)])
+    cand = lsh_candidates(sig, id_col, n_hashes=n_hashes, bands=n_bands)
     inter = F.size(F.array_intersect("_sa", "_sb"))
     verified = (cand
                 .join(sets.select(F.col(id_col).alias("id_a"),

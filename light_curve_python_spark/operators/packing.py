@@ -89,10 +89,9 @@ def pack_tokens(df: DataFrame, block_tokens: int,
                        id_col=id_col, partition_col=partition_col,
                        order_col=order_col)
     part_cols = [partition_col] if partition_col is not None else []
-    joined = spans.join(df.select(id_col, order_col, tokens_col).distinct()
-                        if order_col != id_col
-                        else df.select(id_col, tokens_col),
-                        id_col)
+    lookup = (df.select(id_col, order_col, tokens_col)
+              if order_col != id_col else df.select(id_col, tokens_col))
+    joined = spans.join(lookup, id_col)
     piece = F.slice(F.col(tokens_col),
                     (F.col("tok_start") + 1).cast("int"),
                     (F.col("tok_end") - F.col("tok_start")).cast("int"))

@@ -33,8 +33,10 @@ def _defaults_conf_has_master() -> bool:
     try:
         with open(path) as f:
             for line in f:
-                line = line.strip()
-                if line.startswith("spark.master"):
+                tokens = line.strip().split(None, 1)
+                # exact key match: spark.master.rest.enabled etc. do NOT
+                # pin a master
+                if tokens and tokens[0] == "spark.master":
                     return True
     except OSError:
         return False

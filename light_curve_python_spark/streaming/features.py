@@ -45,10 +45,27 @@ STATE_SCHEMA = T.StructType([
 
 def streaming_pit_features(obs: DataFrame, key_col: str = "doc_id",
                            t_col: str = "t", m_col: str = "m",
-                           sigma_col: str = "sigma") -> DataFrame:
+                           sigma_col: str = "sigma",
+                           late_policy: str = "drop") -> DataFrame:
     """One output row per observation: the moment-family feature vector of
     the entity's history INCLUDING that observation (emit-after-fold; use
-    lag semantics downstream if strictly-before is needed)."""
+    lag semantics downstream if strictly-before is needed).
+
+    Rows within a micro-batch are processed in event-time order, but a
+    row arriving in a LATER micro-batch with t below the state's last
+    folded t cannot be served leakage-free from O(1) state (its history
+    already contains future points).  ``late_policy``:
+
+    - ``'drop'`` (default): late rows emit nothing and are not folded —
+      every emitted vector is exactly the batch PIT result (the
+      zero-leakage guarantee); pair with source-side watermarking if
+      late data must be quantified.
+    - ``'fold'``: fold and emit anyway — the vector is over ARRIVAL
+      order, leaking the already-folded future rows (duration/max_dt can
+      go negative); only for pipelines that explicitly want running
+      arrival-order stats."""
+    if late_policy not in ("drop", "fold"):
+        raise ValueError("late_policy must be 'drop' or 'fold'")
     out_schema = _output_schema(obs.schema[key_col], t_col)
 
     def fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
@@ -65,6 +82,9 @@ def streaming_pit_features(obs: DataFrame, key_col: str = "doc_id",
             .sort_values(t_col, kind="mergesort")
         out = {c: [] for c in (t_col,) + STREAM_FEATURE_NAMES}
         for t, m, s in zip(rows[t_col], rows[m_col], rows[sigma_col]):
+            if late_policy == "drop" and not math.isnan(last_t) \
+                    and t < last_t:
+                continue      # late cross-batch row: unservable leak-free
             n += 1.0
             sm += m
             sm2 += m * m

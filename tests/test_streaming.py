@@ -292,3 +292,40 @@ def test_streaming_pit_features_match_batch(spark, tmp_path):
                 np.testing.assert_allclose(
                     g.loc[i, k], want[k], rtol=1e-8, equal_nan=True,
                     err_msg=f"{e} row {i} {k}")
+
+
+def test_streaming_pit_features_drops_late_cross_batch_rows(spark,
+                                                            tmp_path):
+    """A row arriving in a later micro-batch with t below the state's
+    last folded t cannot be served leakage-free: the default late_policy
+    drops it (round-3 review finding: folding it would leak the already
+    folded future rows and yield negative durations)."""
+    import numpy as np
+    from light_curve_python_spark.streaming.features import (
+        streaming_pit_features)
+    src = str(tmp_path / "src")
+    f1 = pd.DataFrame({"doc_id": ["x"] * 3, "t": [1.0, 2.0, 10.0],
+                       "m": [5.0, 6.0, 7.0], "sigma": [0.1] * 3})
+    # t=4.0 is LATE: state already folded t=10
+    f2 = pd.DataFrame({"doc_id": ["x"] * 2, "t": [4.0, 12.0],
+                       "m": [8.0, 9.0], "sigma": [0.1] * 2})
+    spark.createDataFrame(f1).coalesce(1).write.mode("overwrite") \
+        .parquet(src)
+    spark.createDataFrame(f2).coalesce(1).write.mode("append") \
+        .parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, t double, m double, sigma double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)   # 2 micro-batches
+    out_dir = str(tmp_path / "out")
+    q = (streaming_pit_features(stream)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("t") \
+        .reset_index(drop=True)
+    assert list(got["t"]) == [1.0, 2.0, 10.0, 12.0]   # 4.0 dropped
+    assert (got["duration"] >= 0).all()
+    # the t=12 row's history excludes the dropped late row
+    assert got.loc[3, "observation_count"] == 4.0
+    assert got.loc[3, "mean"] == pytest.approx(np.mean([5, 6, 7, 9]))
