@@ -802,7 +802,13 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
                     lambda i: F.concat_ws(
                         " ", F.slice(F.col("ws"), i + 1, SHINGLE_K))))
                     .alias("sh"))
-                .distinct())
+                .distinct()
+                # 8-byte join/shuffle keys instead of ~30-byte strings:
+                # Jaccard over per-doc DISTINCT hashed shingles equals
+                # Jaccard over the strings (deterministic xxhash64; a
+                # collision would be caught by the DuckDB twin, which
+                # keeps strings)
+                .select("doc_id", F.xxhash64("sh").alias("sh")))
     # df pruning (identical in the DuckDB twin, so parity holds whether or
     # not the cap fires): shingles shared by > MAX_SHINGLE_DF docs are
     # dropped from BOTH the index and the size counts — the k-squared
