@@ -1203,6 +1203,135 @@ GROUP BY user_id, dt_bin
 """
 
 
+def _erf_sql(z: str) -> str:
+    """Cody-(1969) erf as a DuckDB scalar expression over column ``z`` —
+    the SAME branches/coefficients/operation ORDER as the engine's
+    pure-numpy functions/special.py erf, so both engines agree to ~1 ulp
+    of their libm exp() and the ROUND(6) hash gate holds.  Generated from
+    the package's own coefficient arrays (single source of truth)."""
+    import math as _m
+
+    from light_curve_python_spark.functions import special as SP
+    A, B = [float(v) for v in SP._ERF_A], [float(v) for v in SP._ERF_B]
+    C, D = [float(v) for v in SP._ERF_C], [float(v) for v in SP._ERF_D]
+    P, Q = [float(v) for v in SP._ERF_P], [float(v) for v in SP._ERF_Q]
+    s = f"({z}*{z})"
+    num, den = f"{A[4]!r}*{s}", s
+    for i in range(3):
+        num = f"(({num}) + {A[i]!r})*{s}"
+        den = f"(({den}) + {B[i]!r})*{s}"
+    small = f"{z} * (({num}) + {A[3]!r}) / (({den}) + {B[3]!r})"
+    ax = f"abs({z})"
+    numm, denm = f"{C[8]!r}*{ax}", ax
+    for i in range(7):
+        numm = f"(({numm}) + {C[i]!r})*{ax}"
+        denm = f"(({denm}) + {D[i]!r})*{ax}"
+    rm = f"((({numm}) + {C[7]!r}) / (({denm}) + {D[7]!r}))"
+    zz = f"(floor({ax}*16.0)/16.0)"
+    expf = f"exp(-{zz}*{zz}) * exp(-({ax}-{zz})*({ax}+{zz}))"
+    mid = f"sign({z}) * (1.0 - {expf} * {rm})"
+    iz = f"(1.0/({ax}*{ax}))"
+    nump, denp = f"{P[5]!r}*{iz}", iz
+    for i in range(4):
+        nump = f"(({nump}) + {P[i]!r})*{iz}"
+        denp = f"(({denp}) + {Q[i]!r})*{iz}"
+    poly = f"({iz} * (({nump}) + {P[4]!r}) / (({denp}) + {Q[4]!r}))"
+    polyf = f"(({1.0 / _m.sqrt(_m.pi)!r} - {poly}) / {ax})"
+    large = f"sign({z}) * (1.0 - {expf} * {polyf})"
+    return (f"CASE WHEN abs({z}) <= 0.46875 THEN {small} "
+            f"WHEN abs({z}) <= 4.0 THEN {mid} ELSE {large} END")
+
+
+GAUSS_DM_EDGES = [round(-2.0 + 0.25 * i, 2) for i in range(17)]  # 16 bins
+
+
+def q_dmdt_gausses(spark, sf_dir):
+    """Gaussian-smeared dm-dt map (operators/dmdt.py dmdt_gausses_kernel,
+    reference dmdt.rs:287-420): each pair spreads N(dm, sigma_i^2 +
+    sigma_j^2) probability mass over the dm bins of its dt row.  The
+    DuckDB twin evaluates the IDENTICAL Cody erf (generated from the
+    package's coefficients — see _erf_sql) over the same pair set, so the
+    iterative-free but erf-heavy kernel gets a full hash gate."""
+    import numpy as np
+    import pandas as pd
+    from light_curve_python_spark.operators.dmdt import dmdt_gausses_kernel
+    from light_curve_python_spark.operators.grouped import (
+        grouped_map_batches,
+        per_group,
+    )
+    ev = _ev(spark, sf_dir).select("user_id", "t", "m", "sigma")
+    dt_edges = 10.0 ** np.linspace(DMDT["lgdt_min"], DMDT["lgdt_max"],
+                                   DMDT["n_dt"] + 1)
+    dm_edges = np.asarray(GAUSS_DM_EDGES, dtype=np.float64)
+    schema = T.StructType([ev.schema["user_id"],
+                           T.StructField("dt_bin", T.LongType()),
+                           T.StructField("dm_bin", T.LongType()),
+                           T.StructField("mass", T.DoubleType())])
+    n_dt, n_dm = DMDT["n_dt"], len(GAUSS_DM_EDGES) - 1
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["t"].to_numpy(np.float64)
+        order = np.argsort(t, kind="mergesort")
+        hist = dmdt_gausses_kernel(
+            t[order], pdf["m"].to_numpy(np.float64)[order],
+            pdf["sigma"].to_numpy(np.float64)[order], dt_edges, dm_edges)
+        di, mi = np.meshgrid(np.arange(n_dt), np.arange(n_dm),
+                             indexing="ij")
+        return pd.DataFrame({
+            "user_id": pdf["user_id"].iloc[0],
+            "dt_bin": di.ravel().astype(np.int64),
+            "dm_bin": mi.ravel().astype(np.int64),
+            "mass": hist.ravel()})
+
+    out = grouped_map_batches(ev, "user_id", schema,
+                              per_group("user_id", fn))
+    return out.withColumn("mass", _r("mass", 6))
+
+
+def _sql_dmdt_gausses() -> str:
+    lg_step = (DMDT["lgdt_max"] - DMDT["lgdt_min"]) / DMDT["n_dt"]
+    edges = ", ".join(f"({i}, {e!r})"
+                      for i, e in enumerate(GAUSS_DM_EDGES))
+    n_dm = len(GAUSS_DM_EDGES) - 1
+    return f"""
+WITH ev AS ({EV_SQL}),
+pairs AS (SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
+            b.t - a.t AS dt, b.m - a.m AS dm,
+            sqrt(a.sigma*a.sigma + b.sigma*b.sigma) AS s
+          FROM ev a JOIN ev b
+            ON a.user_id = b.user_id AND b.t > a.t),
+rowed AS (SELECT *, CAST(floor((log10(dt) - ({DMDT['lgdt_min']}))
+                              / {lg_step}) AS BIGINT) AS dt_bin
+          FROM pairs),
+inrow AS (SELECT * FROM rowed
+          WHERE dt_bin >= 0 AND dt_bin < {DMDT['n_dt']}),
+ed AS (SELECT * FROM (VALUES {edges}) AS v(edge_idx, edge)),
+zt AS (SELECT user_id, ea, eb, dt_bin, edge_idx,
+         (edge - dm) / (1.4142135623730951 * s) AS z
+       FROM inrow CROSS JOIN ed),
+erfs AS (SELECT user_id, ea, eb, dt_bin, edge_idx,
+           {_erf_sql('z')} AS e FROM zt),
+mass AS (SELECT user_id, dt_bin, edge_idx AS dm_bin,
+           0.5 * (lead(e) OVER (PARTITION BY ea, eb
+                                ORDER BY edge_idx) - e) AS m
+         FROM erfs),
+agg AS (SELECT user_id, dt_bin, dm_bin, sum(m) AS mass
+        FROM mass WHERE dm_bin < {n_dm}
+        GROUP BY user_id, dt_bin, dm_bin),
+users AS (SELECT DISTINCT user_id FROM ev),
+grid AS (SELECT u.user_id, d.dt_bin, m.dm_bin
+         FROM users u
+         CROSS JOIN (SELECT unnest(range({DMDT['n_dt']})) AS dt_bin) d
+         CROSS JOIN (SELECT unnest(range({n_dm})) AS dm_bin) m)
+SELECT g.user_id, CAST(g.dt_bin AS BIGINT) AS dt_bin,
+       CAST(g.dm_bin AS BIGINT) AS dm_bin,
+       ROUND(COALESCE(a.mass, 0.0), 6) AS mass
+FROM grid g LEFT JOIN agg a
+  ON g.user_id = a.user_id AND g.dt_bin = a.dt_bin
+     AND g.dm_bin = a.dm_bin
+"""
+
+
 # angular frequencies (rad/day over the t-in-days axis) for the fixed-grid
 # Lomb-Scargle oracle; arbitrary non-commensurate values
 PG_FREQS = (0.7, 1.3, 2.1, 3.7, 5.3, 7.9)
@@ -1833,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "feat_colors_multiband": q_feat_colors,
         "dmdt_map": q_dmdt_map,
+        "dmdt_gausses": q_dmdt_gausses,
         "seq_reduce_end": q_seq_reduce_end,
         "seq_reduce_middle": q_seq_reduce_middle,
         "seq_windows": q_seq_windows,
@@ -1886,6 +2016,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "feat_colors_multiband": SQL_COLORS,
         "dmdt_map": SQL_DMDT,
+        "dmdt_gausses": _sql_dmdt_gausses(),
         "seq_reduce_end": SQL_SEQ_REDUCE_END,
         "seq_reduce_middle": SQL_SEQ_REDUCE_MIDDLE,
         "seq_windows": SQL_SEQ_WINDOWS,
