@@ -1242,6 +1242,113 @@ def _erf_sql(z: str) -> str:
             f"WHEN abs({z}) <= 4.0 THEN {mid} ELSE {large} END")
 
 
+def _erfc_sql(x: str) -> str:
+    """Cody erfc over column ``x`` — the DIRECT mid/large rational forms
+    of special.py erfc (NOT 1 - erf, which would round tiny tail values
+    to 0 and wreck log-cdf parity); negatives via 2 - v.  See _erf_sql."""
+    import math as _m
+
+    from light_curve_python_spark.functions import special as SP
+    A, B = [float(v) for v in SP._ERF_A], [float(v) for v in SP._ERF_B]
+    C, D = [float(v) for v in SP._ERF_C], [float(v) for v in SP._ERF_D]
+    P, Q = [float(v) for v in SP._ERF_P], [float(v) for v in SP._ERF_Q]
+    s = f"({x}*{x})"
+    num, den = f"{A[4]!r}*{s}", s
+    for i in range(3):
+        num = f"(({num}) + {A[i]!r})*{s}"
+        den = f"(({den}) + {B[i]!r})*{s}"
+    small = f"1.0 - ({x} * (({num}) + {A[3]!r}) / (({den}) + {B[3]!r}))"
+    ax = f"abs({x})"
+    numm, denm = f"{C[8]!r}*{ax}", ax
+    for i in range(7):
+        numm = f"(({numm}) + {C[i]!r})*{ax}"
+        denm = f"(({denm}) + {D[i]!r})*{ax}"
+    rm = f"((({numm}) + {C[7]!r}) / (({denm}) + {D[7]!r}))"
+    zz = f"(floor({ax}*16.0)/16.0)"
+    expf = f"exp(-{zz}*{zz}) * exp(-({ax}-{zz})*({ax}+{zz}))"
+    vmid = f"({expf} * {rm})"
+    iz = f"(1.0/({ax}*{ax}))"
+    nump, denp = f"{P[5]!r}*{iz}", iz
+    for i in range(4):
+        nump = f"(({nump}) + {P[i]!r})*{iz}"
+        denp = f"(({denp}) + {Q[i]!r})*{iz}"
+    poly = f"({iz} * (({nump}) + {P[4]!r}) / (({denp}) + {Q[4]!r}))"
+    polyf = f"(({1.0 / _m.sqrt(_m.pi)!r} - {poly}) / {ax})"
+    vlarge = f"({expf} * {polyf})"
+    return (f"CASE WHEN abs({x}) <= 0.46875 THEN {small} "
+            f"WHEN abs({x}) <= 4.0 THEN "
+            f"(CASE WHEN {x} < 0 THEN 2.0 - {vmid} ELSE {vmid} END) "
+            f"ELSE (CASE WHEN {x} < 0 THEN 2.0 - {vlarge} "
+            f"ELSE {vlarge} END) END")
+
+
+def q_anderson_darling(spark, sf_dir):
+    """AndersonDarlingNormal per user (kernels.py — scipy semantics with
+    the finite-sample factor): the erf-dependent statistic gets a full
+    hash gate by evaluating the engine's own Cody erfc in DuckDB
+    (_erfc_sql) inside the textbook sorted-logcdf sum.  Degenerate groups
+    (n < 4 or zero variance) excluded in both engines."""
+    import numpy as np
+    import pandas as pd
+    from light_curve_python_spark.functions.kernels import (
+        evaluate_kernel,
+        make_kernel,
+    )
+    from light_curve_python_spark.operators.grouped import (
+        grouped_map_batches,
+        per_group,
+    )
+    ev = _ev(spark, sf_dir).select("user_id", "m")
+    k = make_kernel("anderson_darling_normal")
+    schema = T.StructType([ev.schema["user_id"],
+                           T.StructField("a2", T.DoubleType())])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["m"].to_numpy(np.float64)
+        if len(m) < 4 or np.std(m, ddof=1) == 0:
+            return pd.DataFrame({"user_id": pdf["user_id"].iloc[:0],
+                                 "a2": pd.Series([], dtype="float64")})
+        out = evaluate_kernel(k, np.arange(len(m), dtype=np.float64), m,
+                              None, fill_value=None)
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "a2": [out[0]]})
+
+    out = grouped_map_batches(ev, "user_id", schema,
+                              per_group("user_id", fn))
+    return out.withColumn("a2", _r("a2", 6))
+
+
+_TINY = 2.2250738585072014e-308   # np.finfo(float64).tiny — the log clip
+
+
+def _sql_anderson_darling() -> str:
+    return f"""
+WITH ev AS ({EV_SQL}),
+g AS (SELECT user_id, avg(m) AS am, stddev_samp(m) AS sm,
+             count(*) AS n
+      FROM ev GROUP BY user_id HAVING count(*) >= 4
+        AND stddev_samp(m) > 0),
+z AS (SELECT e.user_id, (e.m - g.am) / g.sm AS z, g.n,
+        row_number() OVER (PARTITION BY e.user_id ORDER BY e.m) AS i
+      FROM ev e JOIN g USING (user_id)),
+u AS (SELECT user_id, i, n, (-(z) / 1.4142135623730951) AS uu FROM z),
+c AS (SELECT user_id, i, n, 0.5 * ({_erfc_sql('uu')}) AS cdf FROM u),
+l AS (SELECT user_id, i, n,
+        ln(greatest(cdf, {_TINY!r})) AS logcdf,
+        ln(greatest(1.0 - cdf, {_TINY!r})) AS logsf
+      FROM c),
+p AS (SELECT a.user_id, a.n, a.i, a.logcdf, b.logsf
+      FROM l a JOIN l b ON a.user_id = b.user_id
+        AND b.i = a.n + 1 - a.i),
+s AS (SELECT user_id, max(n) AS n,
+        sum((2.0 * i - 1.0) * (logcdf + logsf)) AS acc
+      FROM p GROUP BY user_id)
+SELECT user_id,
+  ROUND((-n - acc / n) * (1.0 + 4.0 / n - 25.0 / (n * n)), 6) AS a2
+FROM s
+"""
+
+
 GAUSS_DM_EDGES = [round(-2.0 + 0.25 * i, 2) for i in range(17)]  # 16 bins
 
 
@@ -1963,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_colors_multiband": q_feat_colors,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
+        "anderson_darling": q_anderson_darling,
         "seq_reduce_end": q_seq_reduce_end,
         "seq_reduce_middle": q_seq_reduce_middle,
         "seq_windows": q_seq_windows,
@@ -2017,6 +2125,7 @@ def oracle_sql() -> dict[str, str]:
         "feat_colors_multiband": SQL_COLORS,
         "dmdt_map": SQL_DMDT,
         "dmdt_gausses": _sql_dmdt_gausses(),
+        "anderson_darling": _sql_anderson_darling(),
         "seq_reduce_end": SQL_SEQ_REDUCE_END,
         "seq_reduce_middle": SQL_SEQ_REDUCE_MIDDLE,
         "seq_windows": SQL_SEQ_WINDOWS,
