@@ -1349,6 +1349,101 @@ FROM s
 """
 
 
+def q_chi2_pvar(spark, sf_dir):
+    """chi2_pvar per user (kernels.py _chi2_pvar — the Rust-only
+    chi-squared variability test, src/features.rs:3663):
+    sf(sum(w*(m-wmean)^2), n-1).  The DuckDB twin evaluates the SAME
+    regularized upper incomplete gamma — series and Lentz continued
+    fraction with identical iteration arithmetic and convergence tests —
+    as recursive CTEs, so even the iterative special function carries a
+    full hash gate."""
+    import numpy as np
+    import pandas as pd
+    from light_curve_python_spark.functions.kernels import (
+        evaluate_kernel,
+        make_kernel,
+    )
+    from light_curve_python_spark.operators.grouped import (
+        grouped_map_batches,
+        per_group,
+    )
+    ev = _ev(spark, sf_dir).select("user_id", "m", "sigma")
+    k = make_kernel("chi2_pvar")
+    schema = T.StructType([ev.schema["user_id"],
+                           T.StructField("pvar", T.DoubleType())])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["m"].to_numpy(np.float64)
+        if len(m) < 2:
+            return pd.DataFrame({"user_id": pdf["user_id"].iloc[:0],
+                                 "pvar": pd.Series([], dtype="float64")})
+        out = evaluate_kernel(
+            k, np.arange(len(m), dtype=np.float64), m,
+            pdf["sigma"].to_numpy(np.float64), fill_value=None)
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "pvar": [out[0]]})
+
+    out = grouped_map_batches(ev, "user_id", schema,
+                              per_group("user_id", fn))
+    return out.withColumn("pvar", _r("pvar", 6))
+
+
+def _sql_chi2_pvar() -> str:
+    return f"""
+WITH RECURSIVE ev AS ({EV_SQL}),
+g1 AS (SELECT user_id,
+         sum(m / (sigma * sigma)) / sum(1.0 / (sigma * sigma)) AS wmean,
+         count(*) AS n
+       FROM ev GROUP BY user_id HAVING count(*) >= 2),
+stat AS (SELECT e.user_id,
+           sum((e.m - g.wmean) * (e.m - g.wmean)
+               / (e.sigma * e.sigma)) AS chi2,
+           max(g.n) AS n
+         FROM ev e JOIN g1 g USING (user_id) GROUP BY e.user_id),
+axy AS (SELECT user_id, (n - 1) / 2.0 AS a, chi2 / 2.0 AS x FROM stat),
+-- series branch (x < a + 1): P(a,x), Q = 1 - P
+sst AS (
+  SELECT user_id, a, x, 0 AS it, a AS ap, 1.0 / a AS delta,
+         1.0 / a AS summ, false AS done
+  FROM axy WHERE x < a + 1.0
+  UNION ALL
+  SELECT user_id, a, x, it + 1, ap + 1.0,
+         delta * x / (ap + 1.0),
+         summ + delta * x / (ap + 1.0),
+         abs(delta * x / (ap + 1.0))
+           < abs(summ + delta * x / (ap + 1.0)) * 1e-15
+  FROM sst WHERE NOT done AND it < 500),
+sfin AS (SELECT user_id,
+           1.0 - summ * exp(-x + a * ln(x) - lgamma(a)) AS q
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                            ORDER BY it DESC) AS rk
+               FROM sst) WHERE rk = 1),
+-- continued-fraction branch (x >= a + 1): Lentz, Q directly
+cst AS (
+  SELECT user_id, a, x, 0 AS it, x + 1.0 - a AS b, 1e300 AS c,
+         1.0 / (x + 1.0 - a) AS d, 1.0 / (x + 1.0 - a) AS h,
+         0.0 AS delta, false AS done
+  FROM axy WHERE x >= a + 1.0
+  UNION ALL
+  SELECT user_id, a, x, it + 1, b2, c3, d4, h * (d4 * c3), d4 * c3,
+         abs(d4 * c3 - 1.0) < 1e-15
+  FROM (SELECT *, -(it + 1) * ((it + 1) - a) AS an, b + 2.0 AS b2
+        FROM cst WHERE NOT done AND it < 499) s1,
+  LATERAL (SELECT CASE WHEN abs(an * d + b2) < 1e-300 THEN 1e-300
+                       ELSE an * d + b2 END AS d2) l1,
+  LATERAL (SELECT CASE WHEN abs(b2 + an / c) < 1e-300 THEN 1e-300
+                       ELSE b2 + an / c END AS c3) l2,
+  LATERAL (SELECT 1.0 / d2 AS d4) l3),
+cfin AS (SELECT user_id, exp(-x + a * ln(x) - lgamma(a)) * h AS q
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                            ORDER BY it DESC) AS rk
+               FROM cst) WHERE rk = 1)
+SELECT user_id, ROUND(q, 6) AS pvar FROM sfin
+UNION ALL
+SELECT user_id, ROUND(q, 6) AS pvar FROM cfin
+"""
+
+
 GAUSS_DM_EDGES = [round(-2.0 + 0.25 * i, 2) for i in range(17)]  # 16 bins
 
 
@@ -2071,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "anderson_darling": q_anderson_darling,
+        "chi2_pvar": q_chi2_pvar,
         "seq_reduce_end": q_seq_reduce_end,
         "seq_reduce_middle": q_seq_reduce_middle,
         "seq_windows": q_seq_windows,
@@ -2126,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "dmdt_map": SQL_DMDT,
         "dmdt_gausses": _sql_dmdt_gausses(),
         "anderson_darling": _sql_anderson_darling(),
+        "chi2_pvar": _sql_chi2_pvar(),
         "seq_reduce_end": SQL_SEQ_REDUCE_END,
         "seq_reduce_middle": SQL_SEQ_REDUCE_MIDDLE,
         "seq_windows": SQL_SEQ_WINDOWS,
