@@ -1651,6 +1651,105 @@ FROM pb GROUP BY user_id, freq_idx
 """
 
 
+def q_periodogram_peaks(spark, sf_dir):
+    """The reference's headline Periodogram output — peak period + S/N on
+    the AUTO grid (resolution=10, avg-nyquist, psd, peaks=1;
+    src/features.rs:4550-4563) — with the direct evaluator (fast=False:
+    the FFT approximation is 1e-6-level, below the ROUND(6) gate).  The
+    DuckDB twin recomputes the grid-resolution arithmetic, the
+    tau-shifted closed-form power at every grid frequency, the strict
+    interior-local-max peak pick (strongest first, argmax fallback), and
+    the (P - mean)/std(ddof=1) S/N — the full output contract in SQL."""
+    import numpy as np
+    import pandas as pd
+    from light_curve_python_spark.functions.kernels import (
+        evaluate_kernel,
+        make_kernel,
+    )
+    from light_curve_python_spark.operators.grouped import (
+        grouped_map_batches,
+        per_group,
+    )
+    ev = _ev(spark, sf_dir).select("user_id", "t", "m")
+    k = make_kernel("periodogram", peaks=1, fast=False)
+    schema = T.StructType([ev.schema["user_id"],
+                           T.StructField("period_0", T.DoubleType()),
+                           T.StructField("s_to_n_0", T.DoubleType())])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["t"].to_numpy(np.float64)
+        m = pdf["m"].to_numpy(np.float64)
+        order = np.argsort(t, kind="mergesort")
+        t, m = t[order], m[order]
+        if len(m) < 3 or np.std(m, ddof=1) == 0 or t[-1] <= t[0]:
+            return pd.DataFrame({"user_id": pdf["user_id"].iloc[:0],
+                                 "period_0": pd.Series([], dtype="f8"),
+                                 "s_to_n_0": pd.Series([], dtype="f8")})
+        out = evaluate_kernel(k, t, m, None, fill_value=None)
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "period_0": [out[0]], "s_to_n_0": [out[1]]})
+
+    out = grouped_map_batches(ev, "user_id", schema,
+                              per_group("user_id", fn))
+    return out.select("user_id", _r("period_0", 6).alias("period_0"),
+                      _r("s_to_n_0", 6).alias("s_to_n_0"))
+
+
+SQL_PERIODOGRAM_PEAKS = f"""
+WITH ev AS ({EV_SQL}),
+g AS (SELECT user_id, count(*) AS n, max(t) AS tmax, min(t) AS tmin,
+             avg(m) AS am, stddev_samp(m) AS sm
+      FROM ev GROUP BY user_id
+      HAVING count(*) >= 3 AND stddev_samp(m) > 0 AND max(t) > min(t)),
+-- the kernel's grid arithmetic verbatim: step = 2pi/(10*span),
+-- max_freq = pi/dt with dt = span/(n-1), n_steps = max(trunc(mf/step), 1)
+grid AS (SELECT user_id, n, am, sm,
+           2.0 * pi() / (10.0 * (tmax - tmin)) AS step,
+           greatest(CAST(trunc((pi() / ((tmax - tmin) / (n - 1)))
+                               / (2.0 * pi() / (10.0 * (tmax - tmin))))
+                         AS BIGINT), 1) AS n_steps
+         FROM g),
+fr AS (SELECT user_id, n, am, sm, step * k AS w, k
+       FROM grid, unnest(range(1, n_steps + 1)) AS u(k)),
+y AS (SELECT e.user_id, e.t, (e.m - f.am) / f.sm AS y, f.n, f.w, f.k
+      FROM ev e JOIN fr f USING (user_id)),
+s AS (SELECT user_id, k, max(w) AS w, max(n) AS n,
+        sum(y * cos(w * t)) AS yc0, sum(y * sin(w * t)) AS ys0,
+        sum(cos(2 * w * t)) AS c2, sum(sin(2 * w * t)) AS s2
+      FROM y GROUP BY user_id, k),
+pw AS (SELECT user_id, k, w,
+         0.5 * (pow(cos(0.5 * atan2(s2, c2)) * yc0
+                    + sin(0.5 * atan2(s2, c2)) * ys0, 2)
+                / (0.5 * (n + c2 * cos(atan2(s2, c2))
+                            + s2 * sin(atan2(s2, c2))))
+              + pow(cos(0.5 * atan2(s2, c2)) * ys0
+                    - sin(0.5 * atan2(s2, c2)) * yc0, 2)
+                / (n - 0.5 * (n + c2 * cos(atan2(s2, c2))
+                                + s2 * sin(atan2(s2, c2))))) AS p
+       FROM s),
+stats AS (SELECT user_id, avg(p) AS pm, stddev_samp(p) AS ps,
+                 max(k) AS kmax
+          FROM pw GROUP BY user_id),
+nb AS (SELECT *, lag(p) OVER (PARTITION BY user_id ORDER BY k) AS pl,
+              lead(p) OVER (PARTITION BY user_id ORDER BY k) AS pn
+       FROM pw),
+interior AS (SELECT user_id, k, w, p FROM nb
+             WHERE pl IS NOT NULL AND pn IS NOT NULL
+               AND p > pl AND p > pn),
+has_int AS (SELECT DISTINCT user_id FROM interior),
+fallback AS (SELECT pw.user_id, pw.k, pw.w, pw.p
+             FROM pw LEFT JOIN has_int USING (user_id)
+             WHERE has_int.user_id IS NULL),
+cand AS (SELECT * FROM interior UNION ALL SELECT * FROM fallback),
+best AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY p DESC, k ASC) AS rk
+           FROM cand) WHERE rk = 1)
+SELECT b.user_id, ROUND(2.0 * pi() / b.w, 6) AS period_0,
+       ROUND((b.p - st.pm) / st.ps, 6) AS s_to_n_0
+FROM best b JOIN stats st USING (user_id)
+"""
+
+
 RAINBOW_WAVES = {"g": 4770e-8, "r": 6231e-8}  # effective wavelengths, cm
 
 
@@ -2173,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "count_dt": q_count_dt,
         "periodogram_grid": q_periodogram_grid,
+        "periodogram_peaks": q_periodogram_peaks,
         "multiband_power": q_multiband_power,
         "rainbow_fit": q_rainbow_fit,
         "bazin_fit": q_bazin_fit,
@@ -2229,6 +2329,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidates": SQL_LSH_CANDIDATES,
         "count_dt": SQL_COUNT_DT,
         "periodogram_grid": SQL_PERIODOGRAM_GRID,
+        "periodogram_peaks": SQL_PERIODOGRAM_PEAKS,
         "multiband_power": SQL_MULTIBAND_POWER,
         "rainbow_fit": SQL_RAINBOW_FIT,
         "bazin_fit": SQL_BAZIN_FIT,
