@@ -1695,8 +1695,7 @@ def q_periodogram_peaks(spark, sf_dir):
                       _r("s_to_n_0", 6).alias("s_to_n_0"))
 
 
-SQL_PERIODOGRAM_PEAKS = f"""
-WITH ev AS ({EV_SQL}),
+_PG_PEAKS_CTES = f"""ev AS ({EV_SQL}),
 g AS (SELECT user_id, count(*) AS n, max(t) AS tmax, min(t) AS tmin,
              avg(m) AS am, stddev_samp(m) AS sm
       FROM ev GROUP BY user_id
@@ -1743,11 +1742,78 @@ fallback AS (SELECT pw.user_id, pw.k, pw.w, pw.p
 cand AS (SELECT * FROM interior UNION ALL SELECT * FROM fallback),
 best AS (SELECT * FROM (SELECT *, row_number() OVER (
              PARTITION BY user_id ORDER BY p DESC, k ASC) AS rk
-           FROM cand) WHERE rk = 1)
+           FROM cand) WHERE rk = 1)"""
+
+SQL_PERIODOGRAM_PEAKS = f"""
+WITH {_PG_PEAKS_CTES}
 SELECT b.user_id, ROUND(2.0 * pi() / b.w, 6) AS period_0,
        ROUND((b.p - st.pm) / st.ps, 6) AS s_to_n_0
 FROM best b JOIN stats st USING (user_id)
 """
+
+# phase-folding composition (phase_features): fold at the best period,
+# phase 0 at the magnitude minimum (first occurrence in (m, t) order),
+# phase = x - floor(x) (numpy np.mod semantics — DuckDB fmod keeps the
+# dividend's sign, so spell it out), stable re-sort by (phase, t), then
+# eta over the folded consecutive pairs
+SQL_PERIODOGRAM_FOLDED = f"""
+WITH {_PG_PEAKS_CTES},
+per AS (SELECT user_id, 2.0 * pi() / w AS period FROM best),
+tz AS (SELECT user_id, t AS t0 FROM (
+         SELECT e.user_id, e.t, row_number() OVER (
+             PARTITION BY e.user_id ORDER BY e.m ASC, e.t ASC) AS rk
+         FROM ev e JOIN per USING (user_id)) WHERE rk = 1),
+ph AS (SELECT e.user_id, e.m, e.t,
+         ((e.t - tz.t0) / per.period)
+           - floor((e.t - tz.t0) / per.period) AS phase
+       FROM ev e JOIN per USING (user_id) JOIN tz USING (user_id)),
+d AS (SELECT user_id, m,
+        m - lag(m) OVER (PARTITION BY user_id
+                         ORDER BY phase, t) AS dm
+      FROM ph)
+SELECT user_id,
+  ROUND(sum(dm * dm) / ((count(*) - 1) * var_samp(m)), 6) AS folded_eta
+FROM d GROUP BY user_id
+"""
+
+
+def q_periodogram_folded(spark, sf_dir):
+    """phase_features composition (src/features.rs:4441-4468): fold the
+    curve at the best period (phase 0 at the magnitude minimum), re-sort
+    by phase, apply an order-sensitive feature (eta) — the kernel's
+    ``period_folded_`` output, reproduced in SQL end to end (grid → power
+    → peak → fold → consecutive-pair sum)."""
+    import numpy as np
+    import pandas as pd
+    from light_curve_python_spark.functions.kernels import (
+        evaluate_kernel,
+        make_kernel,
+    )
+    from light_curve_python_spark.operators.grouped import (
+        grouped_map_batches,
+        per_group,
+    )
+    ev = _ev(spark, sf_dir).select("user_id", "t", "m")
+    k = make_kernel("periodogram", peaks=1, fast=False,
+                    phase_features=("eta",))
+    schema = T.StructType([ev.schema["user_id"],
+                           T.StructField("folded_eta", T.DoubleType())])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["t"].to_numpy(np.float64)
+        m = pdf["m"].to_numpy(np.float64)
+        order = np.argsort(t, kind="mergesort")
+        t, m = t[order], m[order]
+        if len(m) < 3 or np.std(m, ddof=1) == 0 or t[-1] <= t[0]:
+            return pd.DataFrame({"user_id": pdf["user_id"].iloc[:0],
+                                 "folded_eta": pd.Series([], dtype="f8")})
+        out = evaluate_kernel(k, t, m, None, fill_value=None)
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "folded_eta": [out[2]]})
+
+    out = grouped_map_batches(ev, "user_id", schema,
+                              per_group("user_id", fn))
+    return out.select("user_id", _r("folded_eta", 6).alias("folded_eta"))
 
 
 RAINBOW_WAVES = {"g": 4770e-8, "r": 6231e-8}  # effective wavelengths, cm
@@ -2273,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_dt": q_count_dt,
         "periodogram_grid": q_periodogram_grid,
         "periodogram_peaks": q_periodogram_peaks,
+        "periodogram_folded": q_periodogram_folded,
         "multiband_power": q_multiband_power,
         "rainbow_fit": q_rainbow_fit,
         "bazin_fit": q_bazin_fit,
@@ -2330,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "count_dt": SQL_COUNT_DT,
         "periodogram_grid": SQL_PERIODOGRAM_GRID,
         "periodogram_peaks": SQL_PERIODOGRAM_PEAKS,
+        "periodogram_folded": SQL_PERIODOGRAM_FOLDED,
         "multiband_power": SQL_MULTIBAND_POWER,
         "rainbow_fit": SQL_RAINBOW_FIT,
         "bazin_fit": SQL_BAZIN_FIT,
