@@ -146,13 +146,15 @@ def test_multimodal_stub_pipeline(spark):
     df = attach_media_metadata(
         spark.createDataFrame(rows, ["media_id", "payload"]))
     assert df.schema["meta"].dataType.fieldNames()[0] == "kind"
-    out = decode_and_featurize(df).toPandas().set_index("media_id")
+    out = decode_and_featurize(df, codec="stub").toPandas() \
+        .set_index("media_id")
     assert out.loc["m1", "n_bytes"] == 3
     assert len(out.loc["m1", "feature"]) == 8
     import hashlib
     assert out.loc["m2", "sha256"] == hashlib.sha256(b"\xff" * 100).hexdigest()
-    with pytest.raises(NotImplementedError):
-        decode_and_featurize(df, codec="real")
+    # real codecs reject byte soup with a clear message (supported set)
+    with pytest.raises(Exception, match="netpbm|WAV|YUV4MPEG2"):
+        decode_and_featurize(df, codec="real").collect()
 
 
 def test_feature_spec_roundtrip():
