@@ -1203,12 +1203,13 @@ GROUP BY user_id, dt_bin
 """
 
 
-def _erf_sql(z: str) -> str:
-    """Cody-(1969) erf as a DuckDB scalar expression over column ``z`` —
-    the SAME branches/coefficients/operation ORDER as the engine's
-    pure-numpy functions/special.py erf, so both engines agree to ~1 ulp
-    of their libm exp() and the ROUND(6) hash gate holds.  Generated from
-    the package's own coefficient arrays (single source of truth)."""
+def _cody_fragments(z: str):
+    """Shared SQL fragments for the Cody (1969) erf/erfc branches over
+    column ``z`` — generated from the engine's own coefficient arrays
+    (functions/special.py, single source of truth) with the SAME
+    operation order, so both engines agree to ~1 ulp of their libm exp().
+    Returns (erf_small, erfc_mid_pos, erfc_large_pos) where the latter
+    two are the DIRECT erfc values for z > 0."""
     import math as _m
 
     from light_curve_python_spark.functions import special as SP
@@ -1229,43 +1230,6 @@ def _erf_sql(z: str) -> str:
     rm = f"((({numm}) + {C[7]!r}) / (({denm}) + {D[7]!r}))"
     zz = f"(floor({ax}*16.0)/16.0)"
     expf = f"exp(-{zz}*{zz}) * exp(-({ax}-{zz})*({ax}+{zz}))"
-    mid = f"sign({z}) * (1.0 - {expf} * {rm})"
-    iz = f"(1.0/({ax}*{ax}))"
-    nump, denp = f"{P[5]!r}*{iz}", iz
-    for i in range(4):
-        nump = f"(({nump}) + {P[i]!r})*{iz}"
-        denp = f"(({denp}) + {Q[i]!r})*{iz}"
-    poly = f"({iz} * (({nump}) + {P[4]!r}) / (({denp}) + {Q[4]!r}))"
-    polyf = f"(({1.0 / _m.sqrt(_m.pi)!r} - {poly}) / {ax})"
-    large = f"sign({z}) * (1.0 - {expf} * {polyf})"
-    return (f"CASE WHEN abs({z}) <= 0.46875 THEN {small} "
-            f"WHEN abs({z}) <= 4.0 THEN {mid} ELSE {large} END")
-
-
-def _erfc_sql(x: str) -> str:
-    """Cody erfc over column ``x`` — the DIRECT mid/large rational forms
-    of special.py erfc (NOT 1 - erf, which would round tiny tail values
-    to 0 and wreck log-cdf parity); negatives via 2 - v.  See _erf_sql."""
-    import math as _m
-
-    from light_curve_python_spark.functions import special as SP
-    A, B = [float(v) for v in SP._ERF_A], [float(v) for v in SP._ERF_B]
-    C, D = [float(v) for v in SP._ERF_C], [float(v) for v in SP._ERF_D]
-    P, Q = [float(v) for v in SP._ERF_P], [float(v) for v in SP._ERF_Q]
-    s = f"({x}*{x})"
-    num, den = f"{A[4]!r}*{s}", s
-    for i in range(3):
-        num = f"(({num}) + {A[i]!r})*{s}"
-        den = f"(({den}) + {B[i]!r})*{s}"
-    small = f"1.0 - ({x} * (({num}) + {A[3]!r}) / (({den}) + {B[3]!r}))"
-    ax = f"abs({x})"
-    numm, denm = f"{C[8]!r}*{ax}", ax
-    for i in range(7):
-        numm = f"(({numm}) + {C[i]!r})*{ax}"
-        denm = f"(({denm}) + {D[i]!r})*{ax}"
-    rm = f"((({numm}) + {C[7]!r}) / (({denm}) + {D[7]!r}))"
-    zz = f"(floor({ax}*16.0)/16.0)"
-    expf = f"exp(-{zz}*{zz}) * exp(-({ax}-{zz})*({ax}+{zz}))"
     vmid = f"({expf} * {rm})"
     iz = f"(1.0/({ax}*{ax}))"
     nump, denp = f"{P[5]!r}*{iz}", iz
@@ -1275,7 +1239,25 @@ def _erfc_sql(x: str) -> str:
     poly = f"({iz} * (({nump}) + {P[4]!r}) / (({denp}) + {Q[4]!r}))"
     polyf = f"(({1.0 / _m.sqrt(_m.pi)!r} - {poly}) / {ax})"
     vlarge = f"({expf} * {polyf})"
-    return (f"CASE WHEN abs({x}) <= 0.46875 THEN {small} "
+    return small, vmid, vlarge
+
+
+def _erf_sql(z: str) -> str:
+    """Cody erf as a DuckDB scalar expression over column ``z`` (see
+    _cody_fragments): erf = sign(z)*(1 - erfc(|z|)) in the mid/large
+    branches."""
+    small, vmid, vlarge = _cody_fragments(z)
+    return (f"CASE WHEN abs({z}) <= 0.46875 THEN {small} "
+            f"WHEN abs({z}) <= 4.0 THEN sign({z}) * (1.0 - {vmid}) "
+            f"ELSE sign({z}) * (1.0 - {vlarge}) END")
+
+
+def _erfc_sql(x: str) -> str:
+    """Cody erfc over column ``x`` — the DIRECT mid/large rational forms
+    (NOT 1 - erf, which would round tiny tail values to 0 and wreck
+    log-cdf parity); negatives via 2 - v.  See _cody_fragments."""
+    small, vmid, vlarge = _cody_fragments(x)
+    return (f"CASE WHEN abs({x}) <= 0.46875 THEN 1.0 - ({small}) "
             f"WHEN abs({x}) <= 4.0 THEN "
             f"(CASE WHEN {x} < 0 THEN 2.0 - {vmid} ELSE {vmid} END) "
             f"ELSE (CASE WHEN {x} < 0 THEN 2.0 - {vlarge} "
@@ -1401,11 +1383,15 @@ stat AS (SELECT e.user_id,
            max(g.n) AS n
          FROM ev e JOIN g1 g USING (user_id) GROUP BY e.user_id),
 axy AS (SELECT user_id, (n - 1) / 2.0 AS a, chi2 / 2.0 AS x FROM stat),
--- series branch (x < a + 1): P(a,x), Q = 1 - P
+-- x == 0 (all residuals exactly zero): Q = 1 by definition — the series
+-- branch would evaluate a*ln(0) and abort DuckDB, so split it out like
+-- the engine's _gammaincc_scalar x==0 special case
+zfin AS (SELECT user_id, 1.0 AS q FROM axy WHERE x = 0),
+-- series branch (0 < x < a + 1): P(a,x), Q = 1 - P
 sst AS (
   SELECT user_id, a, x, 0 AS it, a AS ap, 1.0 / a AS delta,
          1.0 / a AS summ, false AS done
-  FROM axy WHERE x < a + 1.0
+  FROM axy WHERE x > 0 AND x < a + 1.0
   UNION ALL
   SELECT user_id, a, x, it + 1, ap + 1.0,
          delta * x / (ap + 1.0),
@@ -1441,6 +1427,8 @@ cfin AS (SELECT user_id, exp(-x + a * ln(x) - lgamma(a)) * h AS q
 SELECT user_id, ROUND(q, 6) AS pvar FROM sfin
 UNION ALL
 SELECT user_id, ROUND(q, 6) AS pvar FROM cfin
+UNION ALL
+SELECT user_id, ROUND(q, 6) AS pvar FROM zfin
 """
 
 

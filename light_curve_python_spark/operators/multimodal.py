@@ -119,6 +119,15 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
     audio_fmt, n_ch, rate, _br, _ba, bits = fmt
     if audio_fmt != 1:
         raise ValueError("only PCM WAV supported")
+    # validate the declared layout up front: a corrupt fmt chunk would
+    # otherwise surface later as an unrelated slice/ZeroDivision error
+    # mid-batch (the stdlib `wave` module does the same walk but is less
+    # tolerant of extra chunks; the manual parser keeps the validation
+    # explicit and the per-row overhead minimal)
+    if n_ch < 1:
+        raise ValueError(f"invalid WAV: {n_ch} channels")
+    if rate <= 0:
+        raise ValueError(f"invalid WAV: sample rate {rate}")
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
@@ -132,6 +141,8 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
 def decode_y4m_frames(payload: bytes, every: int = 1) -> np.ndarray:
     """YUV4MPEG2: returns every ``every``-th luma (Y) plane as a
     (n_sampled, h, w) uint8 array (4:2:0 assumed — the format default)."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
     nl = payload.index(b"\n")
     header = payload[:nl].split(b" ")
     if header[0] != b"YUV4MPEG2":
@@ -197,6 +208,11 @@ def _audio_features(x: np.ndarray, rate: int) -> np.ndarray:
 
 def _video_features(frames: np.ndarray) -> np.ndarray:
     nf, h, w = frames.shape
+    if nf == 0:
+        # header-only y4m is valid per the format: well-defined zeros
+        # instead of numpy's empty-reduction crash
+        return np.array([w, h, 0, 0.0, 0.0, 0.0, w / h, 0.0],
+                        dtype=np.float32)
     g = frames.astype(np.float64)
     motion = float(np.abs(np.diff(g, axis=0)).mean()) if nf > 1 else 0.0
     return np.array([w, h, nf, g.mean(), g.std(), motion, w / h,
