@@ -710,6 +710,101 @@ FROM ev GROUP BY user_id, floor((t - 0.0) / 1.0)
 """
 
 
+def q_binned_features(spark, sf_dir):
+    """The Bins META-FEATURE composition (reference features/bins.py:
+    14-40 + src/features.rs:3508-3661): inverse-variance rebin into 1-day
+    tumbling windows, THEN the inner feature set over the binned series —
+    FeatureExtractor.extract_binned end to end.  Degenerate binned series
+    (fewer than 3 bins) excluded in both engines (linear_fit needs n>=3)."""
+    ev = _ev(spark, sf_dir).select("user_id", "t", "m", "sigma")
+    counts = (bin_series(ev, entity_col="user_id", window=1.0, offset=0.0)
+              .groupBy("user_id").agg(F.count("*").alias("_nb"))
+              .filter(F.col("_nb") >= 3).select("user_id"))
+    ex = FeatureExtractor(["mean", "standard_deviation", "weighted_mean",
+                           "linear_fit"])
+    out = ex.extract_binned(ev.join(counts, "user_id"), window=1.0,
+                            offset=0.0, entity_col="user_id")
+    return _round6(out)
+
+
+SQL_BINNED_FEATURES = f"""
+WITH ev AS ({EV_SQL}),
+b AS (SELECT user_id,
+        0.0 + 1.0 * (floor((t - 0.0) / 1.0) + 0.5) AS t,
+        sum(m * power(sigma, -2)) / sum(power(sigma, -2)) AS m,
+        sqrt(count(*) / sum(power(sigma, -2))) AS sigma
+      FROM ev GROUP BY user_id, floor((t - 0.0) / 1.0)),
+g AS (SELECT user_id FROM b GROUP BY user_id HAVING count(*) >= 3),
+s AS (SELECT user_id, count(*) AS n,
+        avg(m) AS mean, stddev_samp(m) AS standard_deviation,
+        sum(power(sigma, -2)) AS S,
+        sum(power(sigma, -2) * t) AS St,
+        sum(power(sigma, -2) * m) AS Sm,
+        sum(power(sigma, -2) * t * t) AS Stt,
+        sum(power(sigma, -2) * t * m) AS Stm,
+        sum(power(sigma, -2) * m * m) AS Smm
+      FROM b JOIN g USING (user_id) GROUP BY user_id)
+SELECT user_id,
+  ROUND(mean, 6) AS mean,
+  ROUND(standard_deviation, 6) AS standard_deviation,
+  ROUND(Sm / S, 6) AS weighted_mean,
+  ROUND((S * Stm - St * Sm) / (S * Stt - St * St), 6) AS linear_fit_slope,
+  ROUND(sqrt(1.0 / ((Stt / S - power(St / S, 2)) * S)), 6)
+    AS linear_fit_slope_sigma,
+  ROUND((Smm - ((Sm - (S * Stm - St * Sm) / (S * Stt - St * St) * St) / S)
+             * Sm
+         - (S * Stm - St * Sm) / (S * Stt - St * St) * Stm) / (n - 2), 6)
+    AS linear_fit_reduced_chi2
+FROM s
+"""
+
+
+def q_transformed_features(spark, sf_dir):
+    """The reference's per-class DEFAULT transforms
+    (transforms='default', src/transform.rs wiring: kurtosis/skew ->
+    arcsinh, eta_e -> lg, maximum_slope -> clipped_lg, reduced_chi2 ->
+    ln1p) applied by the extractor — the DuckDB twin wraps the raw
+    closed forms in the same transforms (asinh/log1p via their ln
+    identities; equal at ROUND(6))."""
+    ex = FeatureExtractor(["kurtosis", "skew", "eta_e", "maximum_slope",
+                           "reduced_chi2"], transforms="default")
+    return _round6(ex.extract(_ev(spark, sf_dir), entity_col="user_id"))
+
+
+SQL_TRANSFORMED = f"""
+WITH ev AS ({EV_SQL}),
+g AS (SELECT user_id,
+        sum(m * power(sigma, -2)) / sum(power(sigma, -2)) AS wmean
+      FROM ev GROUP BY user_id),
+s AS (SELECT e.*, g.wmean,
+        avg(e.m) OVER (PARTITION BY e.user_id) AS mean,
+        count(*) OVER (PARTITION BY e.user_id) AS n,
+        e.m - lag(e.m) OVER (PARTITION BY e.user_id ORDER BY e.t) AS dm,
+        e.t - lag(e.t) OVER (PARTITION BY e.user_id ORDER BY e.t) AS dt
+      FROM ev e JOIN g USING (user_id))
+SELECT user_id,
+  ROUND(ln(kt + sqrt(kt * kt + 1.0)), 6) AS kurtosis,
+  ROUND(ln(sk + sqrt(sk * sk + 1.0)), 6) AS skew,
+  ROUND(log10(ee), 6) AS eta_e,
+  ROUND(log10(greatest(ms, 1e-30)), 6) AS maximum_slope,
+  ROUND(ln(1.0 + rc), 6) AS reduced_chi2
+FROM (
+  SELECT user_id,
+    max(n) * (max(n) + 1) * sum(power(m - mean, 4))
+      / ((max(n) - 1.0) * (max(n) - 2) * (max(n) - 3)
+         * power(sum(power(m - mean, 2)) / (max(n) - 1), 2))
+      - 3.0 * power(max(n) - 1.0, 2) / ((max(n) - 2) * (max(n) - 3)) AS kt,
+    (sum(power(m - mean, 3)) / max(n))
+      / power(sum(power(m - mean, 2)) / max(n), 1.5)
+      * sqrt(CAST(max(n) AS DOUBLE) * (max(n) - 1)) / (max(n) - 2) AS sk,
+    sum((dm / dt) * (dm / dt)) * power(max(t) - min(t), 2)
+      / (power(count(*) - 1, 3) * var_samp(m)) AS ee,
+    max(abs(dm / dt)) AS ms,
+    sum(power((m - wmean) / sigma, 2)) / (count(*) - 1) AS rc
+  FROM s GROUP BY user_id)
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (docs.withColumn("text_md5", F.md5("text"))
@@ -2308,6 +2403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_range_1h": q_rolling_1h,
         "sessionize_30m": q_sessionize,
         "bins_1day": q_bins_1day,
+        "binned_features": q_binned_features,
+        "transformed_features": q_transformed_features,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash16": q_simhash16,
@@ -2366,6 +2463,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_range_1h": SQL_ROLLING_1H,
         "sessionize_30m": SQL_SESSIONIZE,
         "bins_1day": SQL_BINS,
+        "binned_features": SQL_BINNED_FEATURES,
+        "transformed_features": SQL_TRANSFORMED,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH,
         "simhash16": SQL_SIMHASH,
