@@ -700,13 +700,21 @@ def q_bins_1day(spark, sf_dir):
                       _r("sigma", 6).alias("sigma"))
 
 
+# the 1-day inverse-variance rebin body, shared by SQL_BINS and
+# SQL_BINNED_FEATURES so the two oracle rows cannot drift apart
+BINS_BODY_SQL = """
+SELECT user_id,
+  0.0 + 1.0 * (floor((t - 0.0) / 1.0) + 0.5) AS t,
+  sum(m * power(sigma, -2)) / sum(power(sigma, -2)) AS m,
+  sqrt(count(*) / sum(power(sigma, -2))) AS sigma
+FROM ev GROUP BY user_id, floor((t - 0.0) / 1.0)
+"""
+
 SQL_BINS = f"""
 WITH ev AS ({EV_SQL})
-SELECT user_id,
-  ROUND(0.0 + 1.0 * (floor((t - 0.0) / 1.0) + 0.5), 6) AS t,
-  ROUND(sum(m * power(sigma, -2)) / sum(power(sigma, -2)), 6) AS m,
-  ROUND(sqrt(count(*) / sum(power(sigma, -2))), 6) AS sigma
-FROM ev GROUP BY user_id, floor((t - 0.0) / 1.0)
+SELECT user_id, ROUND(t, 6) AS t, ROUND(m, 6) AS m,
+       ROUND(sigma, 6) AS sigma
+FROM ({BINS_BODY_SQL})
 """
 
 
@@ -729,11 +737,7 @@ def q_binned_features(spark, sf_dir):
 
 SQL_BINNED_FEATURES = f"""
 WITH ev AS ({EV_SQL}),
-b AS (SELECT user_id,
-        0.0 + 1.0 * (floor((t - 0.0) / 1.0) + 0.5) AS t,
-        sum(m * power(sigma, -2)) / sum(power(sigma, -2)) AS m,
-        sqrt(count(*) / sum(power(sigma, -2))) AS sigma
-      FROM ev GROUP BY user_id, floor((t - 0.0) / 1.0)),
+b AS ({BINS_BODY_SQL}),
 g AS (SELECT user_id FROM b GROUP BY user_id HAVING count(*) >= 3),
 s AS (SELECT user_id, count(*) AS n,
         avg(m) AS mean, stddev_samp(m) AS standard_deviation,
@@ -766,13 +770,25 @@ def q_transformed_features(spark, sf_dir):
     ln1p) applied by the extractor — the DuckDB twin wraps the raw
     closed forms in the same transforms (asinh/log1p via their ln
     identities; equal at ROUND(6))."""
+    ev = _ev(spark, sf_dir)
+    # degenerate-group guard IN BOTH ENGINES: kurtosis needs n >= 4 and
+    # nonzero variance — the kernel path would NaN-fill while unguarded
+    # SQL emits NULL (divide-by-zero), a spurious mismatch
+    ok = (ev.groupBy("user_id")
+          .agg(F.count("*").alias("_n"), F.var_samp("m").alias("_v"))
+          .filter((F.col("_n") >= 4) & (F.col("_v") > 0))
+          .select("user_id"))
     ex = FeatureExtractor(["kurtosis", "skew", "eta_e", "maximum_slope",
                            "reduced_chi2"], transforms="default")
-    return _round6(ex.extract(_ev(spark, sf_dir), entity_col="user_id"))
+    return _round6(ex.extract(ev.join(ok, "user_id"),
+                              entity_col="user_id"))
 
 
 SQL_TRANSFORMED = f"""
-WITH ev AS ({EV_SQL}),
+WITH ev0 AS ({EV_SQL}),
+ok AS (SELECT user_id FROM ev0 GROUP BY user_id
+       HAVING count(*) >= 4 AND var_samp(m) > 0),
+ev AS (SELECT ev0.* FROM ev0 JOIN ok USING (user_id)),
 g AS (SELECT user_id,
         sum(m * power(sigma, -2)) / sum(power(sigma, -2)) AS wmean
       FROM ev GROUP BY user_id),
