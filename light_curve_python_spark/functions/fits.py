@@ -282,8 +282,13 @@ def lm_errors(model: Callable, t: np.ndarray, m: np.ndarray,
     sqrt(diag(H^-1)) with H the Gauss-Newton Hessian of the NLL,
     J_r^T J_r (+ Gaussian-prior curvature on the diagonal) — the same
     approximation Minuit's HESSE applies to the reference's LIKELIHOOD-
-    errordef cost (_base.py Migrad/HESSE protocol).  Parameters pinned at
-    a bound or flat directions give +inf via the pseudo-inverse guard.
+    errordef cost (_base.py Migrad/HESSE protocol).  ZERO-CURVATURE
+    directions (a parameter with an exactly-zero Jacobian column, i.e.
+    the data does not constrain it at all) give +inf via the
+    pseudo-inverse guard.  A parameter railed at a box bound with a
+    nonzero gradient is NOT detected here: it reports the finite
+    curvature-based error, which ignores the bound truncation (check
+    ``|p - bound|`` at the call site if that distinction matters).
 
     DOCUMENTED DIVERGENCE: HESSE differentiates the exact cost; this uses
     the Gauss-Newton approximation (second-order residual terms dropped),
@@ -355,6 +360,14 @@ def villar_hosseinzadeh2020_priors(t, m):
     on the Villar et al. 2019 model.  Assumes ``t`` in DAYS (the
     reference's own documented caveat) and positive survey-like flux
     units (amplitude >= 1).
+
+    DOCUMENTED DIVERGENCE: the crate's ``VillarLnPrior::hosseinzadeh2020``
+    source is absent from /root/reference, so these constants are
+    re-derived from the paper and UNVERIFIED against the reference
+    preset: the t0 window padding (+/-50 d on both sides), the amplitude
+    log-uniform floor (1.0) and ceiling factor (100x max flux), and the
+    beta upper bound (0.01/d).  Pin against reference outputs when an
+    installable wheel or the crate source is available.
 
     Per-curve (data-adaptive bounds), ordered as the engine's villar
     parametrization (a, b, t0, gamma, beta, tau_rise, tau_fall):

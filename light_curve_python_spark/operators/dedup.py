@@ -179,7 +179,11 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     # explode-side min agg) — lazily recomputing the shingle explode for
     # the signature AND the verify would double the most expensive stage
     sh = shingle(df, text_col, k, id_col)
-    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_set"))
+    # persist: `sets` is referenced three times below (signature
+    # derivation + both verify joins) — relying on Spark exchange reuse
+    # alone lets column pruning or a plan split recompute the explode
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_set")) \
+        .persist()
 
     def _mh(i):
         # closure factory: a default-arg lambda would be misparsed as the
@@ -200,7 +204,12 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
                             / (F.size("_sa") + F.size("_sb")
                                - F.col("_inter")))
                 .filter(F.col("_j") >= threshold)
-                .select("id_a", "id_b"))
+                .select("id_a", "id_b")
+                # verified pairs are tiny (candidates only) — materialize
+                # them eagerly so `sets` can be unpersisted before the
+                # lazy grouping stage evaluates
+                .localCheckpoint(eager=True))
+    sets.unpersist()
     return dedup_groups(verified, df, id_col)
 
 
@@ -313,23 +322,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                              F.count("*").over(Window.partitionBy("sh")))
                .filter(F.col("_df") <= max_shingle_df)
                .drop("_df"))
-    # candidate generation over the PRUNED index (bounded fan-out); the
-    # jaccard itself is verified exactly on the FULL shingle sets, so
-    # pruning can only drop candidates whose every shared shingle is hot,
-    # never change a surviving pair's score
-    cand = (idx.select(F.col(id_col).alias("id_a"), "sh")
-            .join(idx.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
-    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_set"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    return (cand
-            .join(sets.select(F.col(id_col).alias("id_a"),
-                              F.col("_set").alias("_sa")), "id_a")
-            .join(sets.select(F.col(id_col).alias("id_b"),
-                              F.col("_set").alias("_sb")), "id_b")
-            .withColumn("_inter", inter)
+    # candidates AND their shared-shingle count in ONE aggregation: the
+    # index join emits one row per shared shingle per pair (``shingle``
+    # returns distinct (id, sh) rows), so groupBy(pair).count() IS
+    # |A ∩ B| over the index — no collect_set arrays in any shuffle,
+    # only scalar (id, id, count) rows
+    shared = (idx.select(F.col(id_col).alias("id_a"), "sh")
+              .join(idx.select(F.col(id_col).alias("id_b"), "sh"), "sh")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("_inter")))
+    if max_shingle_df is not None:
+        # the pruned-index count undercounts pairs that also share hot
+        # shingles: recount each surviving candidate against the FULL
+        # index (a semi-bounded join — only candidate pairs fan out), so
+        # a surviving pair's jaccard is exact per the API contract
+        cand = shared.select("id_a", "id_b")
+        shared = (cand
+                  .join(sh.select(F.col(id_col).alias("id_a"), "sh"),
+                        "id_a")
+                  .join(sh.select(F.col(id_col).alias("id_b"), "sh"),
+                        ["id_b", "sh"])
+                  .groupBy("id_a", "id_b")
+                  .agg(F.count("*").alias("_inter")))
+    # |A| and |B| as per-doc scalars from the UNPRUNED shingle relation:
+    # jaccard = n/(|A|+|B|-n) — identical to the former full-set
+    # array_intersect verify, without shipping a single array
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    return (shared
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("_n").alias("_na")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("_n").alias("_nb")), "id_b")
             .withColumn("jaccard", F.col("_inter")
-                        / (F.size("_sa") + F.size("_sb") - F.col("_inter")))
+                        / (F.col("_na") + F.col("_nb") - F.col("_inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))

@@ -31,12 +31,24 @@ class CheckpointedRun:
                  spec_json: Optional[str] = None):
         scheme = output_path.split("://", 1)[0] if "://" in output_path \
             else ""
+        self._spark_prefix = ""
         if scheme == "file":
             # manifest I/O uses plain os.path/open: keep the posix path so
             # Python and Spark agree on where the run lives ('file:///x'
-            # would otherwise become a literal './file:/x' manifest dir)
+            # would otherwise become a literal './file:/x' manifest dir);
+            # Spark writes keep the explicit file:// scheme so the local-FS
+            # intent survives on deployments where fs.defaultFS is not local
             from urllib.parse import urlparse
-            output_path = urlparse(output_path).path
+            parsed = urlparse(output_path)
+            if parsed.netloc:
+                # 'file://home/user/out' parses as netloc='home',
+                # path='/user/out' — silently using the path would drop the
+                # first component; the only valid local form is file:///abs
+                raise ValueError(
+                    f"malformed file:// URI {output_path!r}: a file URI "
+                    "needs an empty authority (file:///abs/path)")
+            output_path = parsed.path
+            self._spark_prefix = "file://"
         elif scheme:
             # the manifest (and rmtree on restart) use local-fs I/O in this
             # container; on a lake deployment the bucket column maps to an
@@ -142,15 +154,16 @@ class CheckpointedRun:
             subset = tagged.filter(F.col("_bucket") == b).drop("_bucket")
             t0 = time.perf_counter()
             out = compute(subset)
-            (out.write.mode("overwrite")
-             .parquet(os.path.join(self.output_path, f"bucket={b}")))
-            rows = out.sparkSession.read.parquet(
-                os.path.join(self.output_path, f"bucket={b}")).count()
+            bpath = self._spark_prefix \
+                + os.path.join(self.output_path, f"bucket={b}")
+            out.write.mode("overwrite").parquet(bpath)
+            rows = out.sparkSession.read.parquet(bpath).count()
             self._commit(b, rows, time.perf_counter() - t0)
             executed.append(b)
         return executed
 
     def read(self, spark: SparkSession) -> DataFrame:
-        paths = [os.path.join(self.output_path, f"bucket={b}")
+        paths = [self._spark_prefix
+                 + os.path.join(self.output_path, f"bucket={b}")
                  for b in self.completed_buckets()]
         return spark.read.parquet(*paths)

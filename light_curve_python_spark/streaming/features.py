@@ -57,9 +57,13 @@ def streaming_pit_features(obs: DataFrame, key_col: str = "doc_id",
     already contains future points).  ``late_policy``:
 
     - ``'drop'`` (default): late rows emit nothing and are not folded —
-      every emitted vector is exactly the batch PIT result (the
-      zero-leakage guarantee); pair with source-side watermarking if
-      late data must be quantified.
+      every emitted vector is a LEAK-FREE feature vector computed over
+      the entity's on-time history only.  Batch equivalence holds
+      exactly until the first cross-batch late row; after a drop, later
+      vectors for that entity are missing the dropped observation that
+      a batch PIT extractor would include (zero leakage is preserved,
+      batch equality is not).  Pair with source-side watermarking if
+      late data must be quantified or reprocessed.
     - ``'fold'``: fold and emit anyway — the vector is over ARRIVAL
       order, leaking the already-folded future rows (duration/max_dt can
       go negative); only for pipelines that explicitly want running
