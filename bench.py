@@ -52,6 +52,8 @@ def _sf_from_dir(d: str) -> float:
 SF = _sf_from_dir(SF_DIR)
 N_ENTITIES = max(200, int(20000 * SF))
 PROBES_PER_ENTITY = 48  # sized so kernel compute dominates fixed overhead
+N_ANN_PROBES = 100      # ANN probe set for the lsh headline + recall
+ANN_K = 10
 
 
 def _force(df):
@@ -97,16 +99,19 @@ def _host_ceiling_control() -> dict:
     for procs in (8, 32):
         # best-of-3, mirroring the Spark side's min-of-5: a noisy-neighbor
         # burst during ONE control phase otherwise skews the ceiling ratio
-        # in either direction (observed 0.71-1.11 single-shot)
-        best = 0.0
+        # in either direction (observed 0.71-1.11 single-shot); the
+        # per-run draws are recorded so the artifact itself shows the
+        # spread the best-of is taken over
+        runs = []
         with mp.Pool(procs) as pool:
             pool.map(_control_worker, [(i, 2) for i in range(procs)])
             for _ in range(3):
                 t0 = time.perf_counter()
                 rows = sum(pool.map(_control_worker,
                                     [(i, 40) for i in range(procs)]))
-                best = max(best, rows / (time.perf_counter() - t0))
-        out[f"procs{procs}_rows_per_sec"] = round(best, 1)
+                runs.append(rows / (time.perf_counter() - t0))
+        out[f"procs{procs}_rows_per_sec"] = round(max(runs), 1)
+        out[f"procs{procs}_runs"] = [round(r, 1) for r in runs]
     out["efficiency_8_to_32"] = round(
         out["procs32_rows_per_sec"] / out["procs8_rows_per_sec"] / 4.0, 3)
     return out
@@ -243,6 +248,19 @@ def _headline_queries(spark, obs_path, probes_path):
         return ex.extract(E._ev(s, SF_DIR), entity_col="user_id",
                           sigma_col=None)
 
+    def lsh_topk_embeddings(s):
+        from pyspark.sql import functions as F
+
+        from light_curve_python_spark.operators.similarity import lsh_topk
+        emb = s.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+            .select("vec_id", "embedding")
+        probes = emb.filter(F.col("vec_id") < N_ANN_PROBES)
+        # 4 planes x 8 tables: sized for this corpus's weakly-similar
+        # top-k regime (exact top-10 cosines ~0.26-0.37 => per-plane
+        # collision ~0.59; 8 planes would prune recall to ~3%)
+        return lsh_topk(emb, probes, k=ANN_K, dim=64, n_planes=4,
+                        seed=42, n_tables=8)
+
     return {
         "pit_extract_full_battery": pit_full,
         "periodogram_all_curves": periodogram_all_curves,
@@ -259,7 +277,45 @@ def _headline_queries(spark, obs_path, probes_path):
         "nn_jaccard_documents":
             lambda s: E.q_nearest_neighbor_jaccard(s, SF_DIR),
         "cosine_topk_embeddings": lambda s: E.q_cosine_topk(s, SF_DIR),
+        "lsh_topk_embeddings": lsh_topk_embeddings,
     }
+
+
+def _lsh_recall(spark) -> dict:
+    """recall@k of both approximate ANN paths vs the exact baseline.
+    The synthetic corpus's true top-k lives at cosine ~0.26-0.37 (weakly
+    clustered), the hardest regime for hyperplane LSH — parameters below
+    are sized for it and recorded alongside the number."""
+    from pyspark.sql import functions as F
+
+    from light_curve_python_spark.operators.similarity import (cosine_topk,
+                                                               ivf_topk,
+                                                               lsh_topk)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < N_ANN_PROBES)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.select("probe_id", "neighbor_id").collect():
+            out.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        return out
+
+    def recall_of(approx, exact):
+        vals = [len(exact[p] & approx.get(p, set())) / len(exact[p])
+                for p in exact]
+        return round(sum(vals) / max(len(vals), 1), 4)
+
+    exact = topk_sets(cosine_topk(emb, probes, k=ANN_K, id_col="vec_id"))
+    lsh = topk_sets(lsh_topk(emb, probes, k=ANN_K, dim=64, n_planes=4,
+                             seed=42, n_tables=8, id_col="vec_id"))
+    ivf = topk_sets(ivf_topk(emb, probes, k=ANN_K, n_cells=16,
+                             n_probe_cells=4, seed=42, id_col="vec_id"))
+    return {"k": ANN_K, "n_probes": len(exact),
+            "lsh": {"recall": recall_of(lsh, exact),
+                    "n_planes": 4, "n_tables": 8},
+            "ivf": {"recall": recall_of(ivf, exact),
+                    "n_cells": 16, "n_probe_cells": 4}}
 
 
 def _session(cores: int):
@@ -311,6 +367,11 @@ def main():
             # min-of-5 scaling block)
             dt = min(dt, _time_one(spark, fn))
         results[name] = round(dt, 3)
+
+    # recall@k of the approximate ANN path vs the exact brute-force
+    # baseline on the same probes (driver-side set compare over k*probes
+    # rows — measurement harness only, not a pipeline collect)
+    extras["lsh_recall_at_k"] = _lsh_recall(spark)
     spark.stop()
 
     extras["feature_vectors_per_sec"] = round(

@@ -30,9 +30,11 @@ from pyspark.sql import functions as F
 
 from ..functions.special import erf
 
-__all__ = ["log_dt_edges", "linear_edges", "dmdt_points_kernel",
+__all__ = ["log_dt_edges", "linear_edges", "asinh_edges", "grid_edges",
+           "from_borders", "dmdt_points_kernel",
            "dmdt_gausses_kernel", "count_dt_kernel", "normalize_dmdt",
-           "dmdt_points_sql", "count_dt_sql"]
+           "dmdt_points_sql", "count_dt_sql", "edge_bin_expr",
+           "edge_bin_sql"]
 
 
 def log_dt_edges(min_lgdt: float, max_lgdt: float, n: int) -> np.ndarray:
@@ -41,6 +43,73 @@ def log_dt_edges(min_lgdt: float, max_lgdt: float, n: int) -> np.ndarray:
 
 def linear_edges(lo: float, hi: float, n: int) -> np.ndarray:
     return np.linspace(lo, hi, n + 1)
+
+
+def asinh_edges(lo: float, hi: float, n: int) -> np.ndarray:
+    """Borders uniform in asinh space — linear near 0, logarithmic in the
+    tails, defined for negative values (the natural dm grid for
+    heavy-tailed magnitude differences; the upstream light-curve-dmdt
+    crate's Asinh grid family).  Consumed as a generic border array by
+    every kernel here (binning is searchsorted-based, grid-agnostic)."""
+    return np.sinh(np.linspace(np.arcsinh(float(lo)), np.arcsinh(float(hi)),
+                               n + 1))
+
+
+# the reference's uniformity tolerance (dmdt.rs:984 ``EPS = 1000 * eps``)
+_GRID_EPS = 1000.0 * np.finfo(np.float64).eps
+
+
+def grid_edges(borders: Sequence[float], kind: str = "auto") -> np.ndarray:
+    """The reference ``DmDt(dt, dm, dt_type=..., dm_type=...)`` grid
+    contract (src/dmdt.rs:900-965): validate ascending borders, then
+
+    - ``'linear'``: regenerate a uniform grid from the first/last border
+      (LinearGrid — interior values are NOT kept);
+    - ``'log'``: regenerate uniform-in-lg borders from first/last
+      (LgGrid; requires a positive start);
+    - ``'asis'``: keep the array exactly as given (generic ArrayGrid —
+      this is how arbitrary grids, e.g. ``asinh_edges``, enter);
+    - ``'auto'``: detect uniform linear spacing (relative step error
+      < 1000*eps), else uniform lg spacing, else fall back to as-is.
+    """
+    a = np.asarray(borders, dtype=np.float64)
+    if a.ndim != 1 or len(a) < 2:
+        raise ValueError("dmdt grid needs at least two borders")
+    if not np.all(a[1:] > a[:-1]):
+        raise ValueError("dmdt grid must be in ascending order")
+    n = len(a) - 1
+    if kind == "linear":
+        return np.linspace(a[0], a[-1], n + 1)
+    if kind == "log":
+        if a[0] <= 0:
+            raise ValueError("log grid needs a positive start")
+        return np.logspace(np.log10(a[0]), np.log10(a[-1]), n + 1)
+    if kind == "asis":
+        return a
+    if kind != "auto":
+        raise ValueError(
+            "grid kind must be 'auto', 'linear', 'log' or 'asis'")
+    step = a[1] - a[0]
+    if np.all(np.abs((step - np.diff(a[1:])) / step) < _GRID_EPS):
+        return np.linspace(a[0], a[-1], n + 1)
+    if a[0] > 0:
+        ln_step = np.log(a[1] / a[0])
+        if np.all(np.abs((ln_step - np.diff(np.log(a[1:]))) / ln_step)
+                  < _GRID_EPS):
+            return np.logspace(np.log10(a[0]), np.log10(a[-1]), n + 1)
+    return a
+
+
+def from_borders(min_lgdt: float, max_lgdt: float, lgdt_size: int,
+                 max_abs_dm: float, dm_size: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's ``DmDt.from_borders`` constructor
+    (src/dmdt.rs:1048-1082): a uniform-in-lg dt grid over
+    [10^min_lgdt, 10^max_lgdt] and a symmetric linear dm grid over
+    [-max_abs_dm, max_abs_dm].  Returns ``(dt_edges, dm_edges)`` for the
+    kernel / SQL operators here."""
+    return (log_dt_edges(min_lgdt, max_lgdt, lgdt_size),
+            linear_edges(-max_abs_dm, max_abs_dm, dm_size))
 
 
 def _pairs(t: np.ndarray, m: np.ndarray):
@@ -130,33 +199,71 @@ def normalize_dmdt(hist: np.ndarray, norm: Sequence[str] = (),
     return out
 
 
+def edge_bin_expr(x, edges: Sequence[float]):
+    """Generic-grid bin index as a Spark Column: ``|{e in edges : e <= x}|
+    - 1`` over a literal border array — exactly ``_bin_exclusive``'s
+    searchsorted(right)-1, expressible identically in DuckDB as
+    ``len(list_filter([...], e -> e <= x)) - 1``, so arbitrary (e.g.
+    asinh) grids stay oracle-checkable.  O(|edges|) per pair; grids are
+    tens of borders, so this stays inside whole-stage codegen."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.size(F.filter(arr, lambda e: e <= x)) - 1
+
+
+def edge_bin_sql(expr: str, edges: Sequence[float]) -> str:
+    """DuckDB twin of ``edge_bin_expr`` (identical double literals via
+    repr — both engines parse to the same IEEE value; the STRING-cast form
+    is load-bearing: DuckDB types a bare fractional literal as DECIMAL
+    before any cast applies, rounding the border by an ulp and shifting
+    exact-edge bins, whereas a string parses straight to DOUBLE)."""
+    lits = ", ".join(f"CAST('{float(e)!r}' AS DOUBLE)" for e in edges)
+    return f"(len(list_filter([{lits}], e -> e <= ({expr}))) - 1)"
+
+
 def dmdt_points_sql(obs: DataFrame, entity: str = "doc_id", t: str = "t",
                     m: str = "m", lgdt_min: float = -1.0,
                     lgdt_max: float = 2.0, n_dt: int = 16,
                     dm_min: float = -2.0, dm_max: float = 2.0,
-                    n_dm: int = 16) -> DataFrame:
+                    n_dm: int = 16,
+                    dt_edges: Optional[Sequence[float]] = None,
+                    dm_edges: Optional[Sequence[float]] = None) -> DataFrame:
     """Sparse per-entity map: (entity, dt_bin, dm_bin, pair_count), 0-based
-    bins, uniform in lg(dt) × dm (the reference's default lg/linear grids).
+    bins.  Default grids are uniform in lg(dt) × dm (the reference's
+    ``from_borders`` constructor); pass ``dt_edges`` / ``dm_edges``
+    (e.g. from ``grid_edges(..., 'asis')`` or ``asinh_edges``) for the
+    reference's arbitrary-border ArrayGrid form — binning then uses an
+    explicit border-array comparison identical to the kernels'
+    half-open searchsorted contract.
 
     Self-join on the entity key (co-partitioned, no broadcast needed) with
-    ``t2 > t1``; arithmetic bin indices so DuckDB computes the identical
-    thing.  At scale the O(n²)-per-entity pair growth is bounded by
-    windowing the observations first (compose with bin_series).
+    ``t2 > t1``; arithmetic (or literal-array) bin indices so DuckDB
+    computes the identical thing.  At scale the O(n²)-per-entity pair
+    growth is bounded by windowing the observations first (compose with
+    bin_series).
     """
     a = obs.select(F.col(entity).alias("_e"), F.col(t).alias("_t1"),
                    F.col(m).alias("_m1"))
     b = obs.select(F.col(entity).alias("_e"), F.col(t).alias("_t2"),
                    F.col(m).alias("_m2"))
     pairs = a.join(b, "_e").filter(F.col("_t2") > F.col("_t1"))
-    lg_step = (lgdt_max - lgdt_min) / n_dt
-    dm_step = (dm_max - dm_min) / n_dm
-    dt_bin = F.floor((F.log10(F.col("_t2") - F.col("_t1")) - F.lit(lgdt_min))
-                     / F.lit(lg_step))
-    dm_bin = F.floor((F.col("_m2") - F.col("_m1") - F.lit(dm_min))
-                     / F.lit(dm_step))
+    if dt_edges is not None:
+        n_dt = len(dt_edges) - 1
+        dt_bin = edge_bin_expr(F.col("_t2") - F.col("_t1"), dt_edges)
+    else:
+        lg_step = (lgdt_max - lgdt_min) / n_dt
+        dt_bin = F.floor(
+            (F.log10(F.col("_t2") - F.col("_t1")) - F.lit(lgdt_min))
+            / F.lit(lg_step))
+    if dm_edges is not None:
+        n_dm = len(dm_edges) - 1
+        dm_bin = edge_bin_expr(F.col("_m2") - F.col("_m1"), dm_edges)
+    else:
+        dm_step = (dm_max - dm_min) / n_dm
+        dm_bin = F.floor((F.col("_m2") - F.col("_m1") - F.lit(dm_min))
+                         / F.lit(dm_step))
     return (pairs
-            .withColumn("dt_bin", dt_bin)
-            .withColumn("dm_bin", dm_bin)
+            .withColumn("dt_bin", dt_bin.cast("long"))
+            .withColumn("dm_bin", dm_bin.cast("long"))
             .filter((F.col("dt_bin") >= 0) & (F.col("dt_bin") < n_dt)
                     & (F.col("dm_bin") >= 0) & (F.col("dm_bin") < n_dm))
             .groupBy(F.col("_e").alias(entity), "dt_bin", "dm_bin")

@@ -259,3 +259,84 @@ def test_dmdt_grids_exclude_top_edge():
     m2 = np.array([0.0, -2.0])
     assert count_dt_kernel(t2, dt_edges).sum() == 1      # dt == min edge
     assert dmdt_points_kernel(t2, m2, dt_edges, dm_edges).sum() == 1
+
+
+def test_grid_edges_contract():
+    """The reference DmDt constructor grid contract (dmdt.rs:900-965):
+    auto-detect uniform linear / uniform lg / generic; 'linear'/'log'
+    REGENERATE uniform borders from the endpoints; 'asis' keeps the
+    array; malformed grids raise."""
+    from light_curve_python_spark.operators.dmdt import (asinh_edges,
+                                                         grid_edges)
+    np.testing.assert_allclose(
+        grid_edges([0.0, 1.0, 2.0, 3.0], "auto"), [0.0, 1.0, 2.0, 3.0])
+    lg = np.logspace(-1, 2, 7)
+    np.testing.assert_allclose(grid_edges(lg, "auto"), lg)
+    gen = asinh_edges(-5.0, 5.0, 6)
+    np.testing.assert_array_equal(grid_edges(gen, "auto"), gen)
+    # 'linear' ignores interior values (LinearGrid from start/end/len)
+    np.testing.assert_allclose(grid_edges([0.0, 0.5, 3.0], "linear"),
+                               [0.0, 1.5, 3.0])
+    np.testing.assert_allclose(grid_edges([1.0, 2.0, 100.0], "log"),
+                               [1.0, 10.0, 100.0])
+    with pytest.raises(ValueError, match="ascending"):
+        grid_edges([1.0, 1.0, 2.0], "auto")
+    with pytest.raises(ValueError, match="positive"):
+        grid_edges([-1.0, 1.0, 10.0], "log")
+    with pytest.raises(ValueError, match="kind"):
+        grid_edges([0.0, 1.0], "asinh")
+    # asinh grid shape: symmetric, linear-ish near 0, log-like tails
+    assert gen[0] == pytest.approx(-5.0) and gen[-1] == pytest.approx(5.0)
+    np.testing.assert_allclose(gen, -gen[::-1], atol=1e-12)
+
+
+def test_from_borders_constructor():
+    """DmDt.from_borders (dmdt.rs:1048-1082): lg-dt grid + symmetric
+    linear dm grid."""
+    from light_curve_python_spark.operators.dmdt import from_borders
+    dt_e, dm_e = from_borders(-2.0, 1.0, 6, 3.0, 4)
+    np.testing.assert_allclose(dt_e, np.logspace(-2, 1, 7))
+    np.testing.assert_allclose(dm_e, np.linspace(-3, 3, 5))
+
+
+def test_edge_bin_sql_duckdb_parity():
+    """edge_bin_sql (the DuckDB twin of the literal-array binning) agrees
+    with the kernels' _bin_exclusive on every probe, including exact
+    edges and out-of-range values."""
+    import duckdb
+
+    from light_curve_python_spark.operators.dmdt import (_bin_exclusive,
+                                                         asinh_edges,
+                                                         edge_bin_sql)
+    edges = asinh_edges(-6.0, 6.0, 12)
+    xs = np.concatenate([np.linspace(-8, 8, 101), edges, [np.nextafter(
+        edges[-1], -np.inf), np.nextafter(edges[0], np.inf)]])
+    con = duckdb.connect()
+    con.register("xs", pd.DataFrame({"x": xs}))
+    got = con.execute(
+        f"SELECT {edge_bin_sql('x', edges)} AS b FROM xs").fetchnumpy()["b"]
+    want = _bin_exclusive(xs.copy(), edges)
+    n = len(edges) - 1
+    got_valid = (got >= 0) & (got < n)
+    want_valid = want >= 0
+    np.testing.assert_array_equal(got_valid, want_valid)
+    np.testing.assert_array_equal(got[got_valid], want[want_valid])
+
+
+def test_dmdt_sql_arbitrary_edges_match_kernel(spark, obs):
+    """Kernel ≡ SQL parity on the generic-grid path: explicit lg dt
+    borders + an asinh dm grid (the ArrayGrid/asis constructor form)."""
+    from light_curve_python_spark.operators.dmdt import asinh_edges
+    dt_edges = log_dt_edges(-1.0, 3.0, 10)
+    dm_edges = asinh_edges(-6.0, 6.0, 12)
+    got = dmdt_points_sql(obs, dt_edges=dt_edges,
+                          dm_edges=dm_edges).toPandas()
+    pdf = obs.toPandas()
+    for doc_id, grp in pdf.sort_values("t").groupby("doc_id"):
+        want = dmdt_points_kernel(grp.t.to_numpy(), grp.m.to_numpy(),
+                                  dt_edges, dm_edges)
+        sub = got[got.doc_id == doc_id]
+        dense = np.zeros_like(want)
+        for _, r in sub.iterrows():
+            dense[int(r.dt_bin), int(r.dm_bin)] = r.pair_count
+        np.testing.assert_array_equal(dense, want)
