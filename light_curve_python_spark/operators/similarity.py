@@ -124,17 +124,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((dim, n_planes))
 
 
-def _bucket_udf(dim: int, n_planes: int, seed: int):
-    planes = _hyperplanes(dim, n_planes, seed)
+def _buckets_udf(dim: int, n_planes: int, seed: int, n_tables: int):
+    """All tables' bucket ids in ONE vectorized pass: the per-table plane
+    matrices (same seeds as before: seed + 1000*t) are stacked into one
+    (dim, n_tables*n_planes) matrix — one matmul per Arrow batch total,
+    instead of one UDF invocation per table per batch."""
+    planes = np.concatenate(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t)
+         for t in range(n_tables)], axis=1)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @pandas_udf(T.LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.to_numpy())  # (batch, dim) — one matmul/batch
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
         signs = (mat @ planes) > 0
-        return pd.Series(signs.astype(np.int64) @ weights)
+        bks = signs.reshape(len(mat), n_tables,
+                            n_planes).astype(np.int64) @ weights
+        return pd.Series(list(bks))
 
-    return bucket
+    return buckets
 
 
 def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
@@ -142,21 +150,27 @@ def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
              dim: int = 64, n_planes: int = 8, seed: int = 42,
              n_tables: int = 2) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets (n_tables independent
-    tables), exact cosine re-rank within candidate union."""
-    cands = None
-    for t in range(n_tables):
-        udf = _bucket_udf(dim, n_planes, seed + 1000 * t)
-        c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).cast("array<double>").alias("_cv")) \
-            .withColumn("_bk", udf("_cv"))
-        p = probes.select(F.col(id_col).alias("probe_id"),
-                          F.col(vec_col).cast("array<double>").alias("_pv")) \
-            .withColumn("_bk", udf("_pv"))
-        j = (c.join(F.broadcast(p), "_bk")
-             .filter(F.col("neighbor_id") != F.col("probe_id"))
-             .select("probe_id", "neighbor_id", "_cv", "_pv"))
-        cands = j if cands is None else cands.unionByName(j)
-    cands = cands.dropDuplicates(["probe_id", "neighbor_id"])
+    tables), exact cosine re-rank within the candidate union.
+
+    Plan shape: one bucket-UDF pass over each side (all tables at once),
+    candidates generated as SCALAR (probe_id, neighbor_id) pairs — the
+    dedup across tables shuffles ids only, never embedding arrays — and
+    vectors re-attached per-side for the exact re-rank (corpus-side hash
+    join on its own id, probe side broadcast)."""
+    udf = _buckets_udf(dim, n_planes, seed, n_tables)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).cast("array<double>").alias("_pv"))
+    cb = c.select("neighbor_id",
+                  F.posexplode(udf("_cv")).alias("_tbl", "_bk"))
+    pb = p.select("probe_id",
+                  F.posexplode(udf("_pv")).alias("_tbl", "_bk"))
+    cand = (cb.join(F.broadcast(pb), ["_tbl", "_bk"])
+            .filter(F.col("neighbor_id") != F.col("probe_id"))
+            .select("probe_id", "neighbor_id")
+            .dropDuplicates(["probe_id", "neighbor_id"]))
+    cands = cand.join(c, "neighbor_id").join(F.broadcast(p), "probe_id")
     cands = with_l2_norm(cands, "_cv", "_cn")
     cands = with_l2_norm(cands, "_pv", "_pn")
     scored = cands.withColumn(

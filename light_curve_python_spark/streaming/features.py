@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_pit_features", "STREAM_FEATURE_NAMES"]
+__all__ = ["streaming_pit_features", "STREAM_FEATURE_NAMES",
+           "streaming_quantile_features", "QUANTILE_STREAM_NAMES"]
 
 STREAM_FEATURE_NAMES = ("observation_count", "mean", "standard_deviation",
                         "amplitude", "weighted_mean", "duration",
@@ -120,4 +121,163 @@ def streaming_pit_features(obs: DataFrame, key_col: str = "doc_id",
 
     return (obs.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+# --- quantile family from bounded state --------------------------------------
+
+QUANTILE_STREAM_NAMES = ("observation_count", "median",
+                         "inter_percentile_range", "q05", "q95",
+                         "quantile_err_bound")
+
+_QSTATE_SCHEMA = T.StructType([
+    T.StructField("lo", T.DoubleType()),
+    T.StructField("hi", T.DoubleType()),
+    T.StructField("counts", T.BinaryType()),
+])
+
+
+def _hist_order_stat(counts, lo, width, k):
+    """Estimate the k-th (1-based) order statistic from an equi-width
+    histogram: the true value lies in the bin where the cumulative count
+    reaches k, so any in-bin position is within one bin width of it
+    (mass is spread uniformly inside the bin)."""
+    cum = 0
+    for i, c in enumerate(counts):
+        if c and cum + c >= k:
+            return lo + (i + (k - cum - 0.5) / c) * width
+        cum += c
+    return lo + len(counts) * width
+
+
+def _hist_quantile(counts, lo, width, n, q):
+    """Hazen quantile estimate: interpolate between the two bracketing
+    ORDER-STATISTIC estimates (each within one bin width of its true
+    value, so the convex combination is too) — interpolating cumulative
+    position directly would be off by the full gap between adjacent
+    order statistics, not by a bin."""
+    h = q * n - 0.5                      # 0-based continuous Hazen rank
+    h = min(max(h, 0.0), n - 1.0)
+    k = math.floor(h)
+    frac = h - k
+    x0 = _hist_order_stat(counts, lo, width, k + 1)
+    if frac == 0.0:
+        return x0
+    x1 = _hist_order_stat(counts, lo, width, k + 2)
+    return (1.0 - frac) * x0 + frac * x1
+
+
+def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
+                                t_col: str = "t", m_col: str = "m",
+                                bins: int = 256,
+                                late_policy: str = "drop") -> DataFrame:
+    """Quantile-family PIT features from BOUNDED state — the family
+    ``streaming_pit_features`` cannot serve from O(1) moments.  Per
+    entity the state is a ``bins``-cell equi-width histogram whose range
+    doubles (merging bin pairs) whenever a value lands outside, so state
+    stays O(bins) regardless of history length.
+
+    Emits per observation: observation_count, median,
+    inter_percentile_range (q75 - q25), q05, q95, and
+    ``quantile_err_bound`` — the self-describing ERROR CONTRACT: every
+    quantile estimate is within ``2 * (hi - lo) / bins`` (two bin
+    widths — one for the histogram's value resolution, one for the
+    rank-interpolation straddle) of the exact Hazen quantile of the same
+    history, and the bound is emitted alongside the estimates so
+    downstream consumers never guess.  The range only ever doubles, so
+    ``hi - lo < 4 * true_range`` and the bound stays proportional to the
+    entity's actual value spread.  Estimates are deterministic (no
+    sampling) and independent of micro-batch boundaries for on-time
+    rows.
+
+    ``late_policy`` follows ``streaming_pit_features`` ('drop' keeps the
+    zero-leakage guarantee; 'fold' is arrival-order)."""
+    import numpy as np
+    if late_policy not in ("drop", "fold"):
+        raise ValueError("late_policy must be 'drop' or 'fold'")
+    out_schema = T.StructType(
+        [obs.schema[key_col], T.StructField(t_col, T.DoubleType())]
+        + [T.StructField(n, T.DoubleType()) for n in QUANTILE_STREAM_NAMES])
+
+    def fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lo, hi, blob = state.get
+            counts = np.frombuffer(blob[:bins * 8], dtype=np.int64).copy()
+            last_t = float(np.frombuffer(blob[bins * 8:],
+                                         dtype=np.float64)[0])
+        else:
+            lo = hi = math.nan
+            counts = np.zeros(bins, dtype=np.int64)
+            last_t = math.nan
+
+        def _bin(x, width):
+            return min(int((x - lo) / width), bins - 1)
+
+        def fold(v):
+            # invariant: counts always carries ALL folded mass — in the
+            # degenerate (single distinct value) phase it sits in bin 0
+            nonlocal lo, hi, counts
+            if math.isnan(lo):
+                lo = hi = v
+                counts[0] += 1
+                return
+            if hi == lo:
+                if v == lo:
+                    counts[0] += 1
+                    return
+                seed_n, seed_v = counts[0], lo
+                counts[0] = 0
+                lo, hi = min(lo, v), max(hi, v)
+                width = (hi - lo) / bins
+                counts[_bin(seed_v, width)] = seed_n
+                counts[_bin(v, width)] += 1
+                return
+            while v < lo or v >= hi:
+                # double the range, merging bin pairs (old mass maps to
+                # the upper/lower half) — state stays O(bins) forever
+                width = hi - lo
+                merged = counts.reshape(bins // 2, 2).sum(axis=1)
+                counts[:] = 0
+                if v < lo:
+                    counts[bins // 2:] = merged
+                    lo = lo - width
+                else:
+                    counts[:bins // 2] = merged
+                    hi = hi + width
+            counts[_bin(v, (hi - lo) / bins)] += 1
+
+        rows = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values(t_col, kind="mergesort")
+        out = {c: [] for c in (t_col,) + QUANTILE_STREAM_NAMES}
+        for t, m in zip(rows[t_col], rows[m_col]):
+            if late_policy == "drop" and not math.isnan(last_t) \
+                    and t < last_t:
+                continue
+            last_t = t
+            fold(m)
+            n = float(counts.sum())
+            if hi == lo:
+                qs = {q: lo for q in (0.05, 0.25, 0.5, 0.75, 0.95)}
+                err = 0.0
+            else:
+                width = (hi - lo) / bins
+                qs = {q: _hist_quantile(counts, lo, width, n, q)
+                      for q in (0.05, 0.25, 0.5, 0.75, 0.95)}
+                err = 2.0 * width
+            out[t_col].append(t)
+            out["observation_count"].append(n)
+            out["median"].append(qs[0.5])
+            out["inter_percentile_range"].append(qs[0.75] - qs[0.25])
+            out["q05"].append(qs[0.05])
+            out["q95"].append(qs[0.95])
+            out["quantile_err_bound"].append(err)
+        blob = counts.tobytes() + np.float64(last_t).tobytes()
+        state.update((float(lo), float(hi), blob))
+        res = pd.DataFrame(out)
+        res.insert(0, key_col, key[0])
+        yield res
+
+    return (obs.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, _QSTATE_SCHEMA,
                                     "append", GroupStateTimeout.NoTimeout))

@@ -178,3 +178,12 @@ def test_checkpoint_resume_guards(spark, tmp_path):
             .run(probes, lambda s: s)
     with pytest.raises(ValueError, match="scheme"):
         CheckpointedRun("s3://bucket/features", "doc_id")
+    # 'file://home/x' parses as netloc='home' — silently using the path
+    # would drop the first component; must refuse
+    with pytest.raises(ValueError, match="authority"):
+        CheckpointedRun("file://home/user/out", "doc_id")
+    # well-formed file:/// works and round-trips through run/read
+    out3 = str(tmp_path / "run3")
+    run3 = CheckpointedRun("file://" + out3, "doc_id", n_buckets=2)
+    run3.run(probes, lambda s: s.withColumn("f", F.col("ts")))
+    assert run3.read(spark).count() == probes.count()

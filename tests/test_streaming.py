@@ -329,3 +329,69 @@ def test_streaming_pit_features_drops_late_cross_batch_rows(spark,
     # the t=12 row's history excludes the dropped late row
     assert got.loc[3, "observation_count"] == 4.0
     assert got.loc[3, "mean"] == pytest.approx(np.mean([5, 6, 7, 9]))
+
+
+def test_streaming_quantile_features_within_bound(spark, tmp_path):
+    """Quantile-family PIT features from the bounded histogram sketch:
+    availableNow over two files (cross-micro-batch state carry), every
+    emitted estimate within its OWN emitted quantile_err_bound of the
+    exact Hazen quantile of the same prefix."""
+    import numpy as np
+    from light_curve_python_spark.streaming.features import (
+        streaming_quantile_features,
+    )
+    rng = np.random.default_rng(11)
+    frames = []
+    for e in range(3):
+        n = 60
+        frames.append(pd.DataFrame({
+            "doc_id": f"e{e}",
+            "t": np.sort(rng.choice(np.arange(1000), n, replace=False))
+            .astype(float),
+            # heavy-tailed + shifted per entity: exercises the
+            # range-doubling path
+            "m": rng.standard_normal(n) * (10 ** e) + 5 * e,
+            "sigma": np.full(n, 0.1)}))
+    pdf = pd.concat(frames, ignore_index=True) \
+        .sort_values(["t"]).reset_index(drop=True)
+    src = str(tmp_path / "qsrc")
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, t double, m double, sigma double").parquet(src)
+    out_dir = str(tmp_path / "qout")
+    q = (streaming_quantile_features(stream, bins=128)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "qckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas() \
+        .sort_values(["doc_id", "t"]).reset_index(drop=True)
+    assert len(got) == len(pdf)
+    checked = 0
+    for e, grp in pdf.groupby("doc_id"):
+        grp = grp.sort_values("t")
+        g = got[got.doc_id == e].reset_index(drop=True)
+        m = grp.m.to_numpy()
+        for i in range(len(grp)):
+            pref = m[:i + 1]
+            row = g.iloc[i]
+            assert row.observation_count == i + 1
+            bound = row.quantile_err_bound + 1e-12
+            for q_, col in ((0.5, "median"), (0.05, "q05"), (0.95, "q95")):
+                exact = np.quantile(pref, q_, method="hazen")
+                assert abs(row[col] - exact) <= bound, \
+                    (e, i, col, row[col], exact, bound)
+            ipr_exact = (np.quantile(pref, 0.75, method="hazen")
+                         - np.quantile(pref, 0.25, method="hazen"))
+            assert abs(row.inter_percentile_range - ipr_exact) \
+                <= 2 * bound
+            checked += 1
+        # the bound is proportional to the entity's actual spread: the
+        # sketch range only doubles, so bound < 2 * 4 * true_range / bins
+        spread = m.max() - m.min()
+        assert g.quantile_err_bound.iloc[-1] <= 8.01 * spread / 128
+    assert checked == len(pdf)
