@@ -1059,14 +1059,11 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def _sql_lsh_topk() -> str:
-    import numpy as np
-
+    from light_curve_python_spark.operators.dmdt import sql_double_lit
     from light_curve_python_spark.operators.similarity import _hyperplanes
 
     def plane_lit(vec):
-        # string-cast: DuckDB types bare fractional literals as DECIMAL
-        lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vec)
-        return f"[{lits}]"
+        return "[" + ", ".join(sql_double_lit(v) for v in vec) + "]"
 
     buckets = []
     for t in range(LSH_TABLES):
@@ -1206,16 +1203,18 @@ def q_dmdt_map(spark, sf_dir):
 
 
 def _sql_dmdt():
-    from light_curve_python_spark.operators.dmdt import edge_bin_sql
+    from light_curve_python_spark.operators.dmdt import (edge_bin_sql,
+                                                         sql_double_lit)
+    lg_step = sql_double_lit(
+        (DMDT['lgdt_max'] - DMDT['lgdt_min']) / DMDT['n_dt'])
+    lg_min = sql_double_lit(DMDT['lgdt_min'])
     return f"""
 WITH ev AS ({EV_SQL}),
 pairs AS (SELECT a.user_id, b.t - a.t AS dt, b.m - a.m AS dm
           FROM ev a JOIN ev b
             ON a.user_id = b.user_id AND b.t > a.t),
 binned AS (SELECT user_id,
-    floor((log10(dt) - ({DMDT['lgdt_min']}))
-          / {(DMDT['lgdt_max'] - DMDT['lgdt_min']) / DMDT['n_dt']})
-      AS dt_bin,
+    floor((log10(dt) - ({lg_min})) / {lg_step}) AS dt_bin,
     {edge_bin_sql('dm', _dmdt_dm_edges())} AS dm_bin
   FROM pairs)
 SELECT user_id, CAST(dt_bin AS BIGINT) AS dt_bin,
@@ -1303,9 +1302,12 @@ def q_lang_id(spark, sf_dir):
                           F.col("stopword_hits").cast("long"))
 
 
-def _langid_sql():
+def _lang_unions_sql():
+    """Per-language stopword-hit scores — shared by the lang_id twin and
+    the pipeline_e2e composition (one source of truth for the stopword
+    lists in SQL)."""
     from light_curve_python_spark.operators.text import LANG_STOPWORDS
-    unions = " UNION ALL ".join(
+    return " UNION ALL ".join(
         f"""SELECT doc_id,
               '{lang}' AS lang,
               len(list_filter(string_split(text, ' '),
@@ -1313,9 +1315,12 @@ def _langid_sql():
                 AS hits
             FROM documents"""
         for lang, sw in sorted(LANG_STOPWORDS.items()))
+
+
+def _langid_sql():
     # F.greatest over (hits, lang) structs: max hits, ties -> max lang string
     return f"""
-WITH scores AS ({unions}),
+WITH scores AS ({_lang_unions_sql()}),
 pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY hits DESC, lang DESC) AS rk FROM scores)
 SELECT doc_id, lang AS predicted_lang, hits AS stopword_hits
@@ -2228,11 +2233,9 @@ MULTIMODAL_GOLDEN: list = [
 
 
 def _sql_multimodal() -> str:
-    # string-cast doubles: DuckDB types bare fractional literals as
-    # DECIMAL before any cast, shifting the value by an ulp
+    from light_curve_python_spark.operators.dmdt import sql_double_lit
     rows = ", ".join(
-        f"('{mid}', '{kind}', {nb}, {pos}, '{sha}', CAST('{feat!r}' AS "
-        "DOUBLE))"
+        f"('{mid}', '{kind}', {nb}, {pos}, '{sha}', {sql_double_lit(feat)})"
         for mid, kind, nb, pos, sha, feat in MULTIMODAL_GOLDEN)
     return f"""
 SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -2303,6 +2306,13 @@ SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 SAMPLE_SEED = 7
 
 
+def _modhash(c):
+    """The integer-exact oracle hash for sampling decisions — shared by
+    q_stratified_sample and q_pipeline_e2e so the two rows (and their
+    twins, which interpolate the same SAMPLE_SEED/PRIME) cannot drift."""
+    return F.pmod(c * F.lit(1000003) + F.lit(SAMPLE_SEED), F.lit(PRIME))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling / data mixing
     (operators/sampling.py hash_sample): per-source keep rates decided by
@@ -2311,13 +2321,9 @@ def q_stratified_sample(spark, sf_dir):
     (production uses xxhash64; the modular form is the integer-exact
     oracle device shared with the minhash queries)."""
     from light_curve_python_spark.operators.sampling import hash_sample
-
-    def modhash(c):
-        return F.pmod(c * F.lit(1000003) + F.lit(SAMPLE_SEED), F.lit(PRIME))
-
     out = hash_sample(_docs(spark, sf_dir), SAMPLE_RATES,
                       stratify_col="source", key_col="doc_id",
-                      default_rate=0.1, hash_fn=modhash)
+                      default_rate=0.1, hash_fn=_modhash)
     return out.select("doc_id", "source")
 
 
@@ -2350,8 +2356,9 @@ def q_corpus_filter(spark, sf_dir):
                       "keep")
 
 
-SQL_CORPUS_FILTER = """
-WITH w AS (
+# shared by SQL_CORPUS_FILTER and SQL_PIPELINE_E2E (the pipeline's
+# quality gate must never drift from the corpus_filter row it composes)
+QUALITY_SIG_SQL = """
   SELECT doc_id,
          len(list_filter(regexp_split_to_array(text, '\\s+'),
                          x -> x <> '')) AS n_words,
@@ -2366,17 +2373,22 @@ WITH w AS (
            AS n_punct,
          len(text) AS n_chars,
          lang
-  FROM documents)
-SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-  ROUND(CAST(sum_wlen AS DOUBLE) / n_words, 6) AS avg_word_len,
-  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-  ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
-  (n_words >= 10 AND n_words <= 500
+  FROM documents"""
+
+QUALITY_KEEP_SQL = """(n_words >= 10 AND n_words <= 500
    AND CAST(sum_wlen AS DOUBLE) / n_words >= 2.5
    AND CAST(sum_wlen AS DOUBLE) / n_words <= 9.0
    AND CAST(n_punct AS DOUBLE) / n_chars <= 0.1
    AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
-   AND lang IN ('en', 'de')) AS keep
+   AND lang IN ('en', 'de'))"""
+
+SQL_CORPUS_FILTER = f"""
+WITH w AS ({QUALITY_SIG_SQL})
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  ROUND(CAST(sum_wlen AS DOUBLE) / n_words, 6) AS avg_word_len,
+  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+  ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+  {QUALITY_KEEP_SQL} AS keep
 FROM w
 """
 
@@ -2606,12 +2618,9 @@ def q_pipeline_e2e(spark, sf_dir):
              .filter("is_canonical")
              .select(F.col("id").alias("doc_id")))
 
-    def modhash(c):
-        return F.pmod(c * F.lit(1000003) + F.lit(SAMPLE_SEED), F.lit(PRIME))
-
     sampled = hash_sample(kept.join(canon, "doc_id"), SAMPLE_RATES,
                           stratify_col="source", key_col="doc_id",
-                          default_rate=0.1, hash_fn=modhash)
+                          default_rate=0.1, hash_fn=_modhash)
     packed = pack_spans(sampled.withColumn(
         "n_tok", F.size(F.filter(F.split("text", r"\s+"),
                                  lambda w: w != ""))), PACK_BLOCK)
@@ -2627,28 +2636,8 @@ words AS (
                generate_subscripts(string_split(text, ' '), 1) AS ord
         FROM documents)
   WHERE w <> ''),
-qsig AS (
-  SELECT doc_id,
-         len(list_filter(regexp_split_to_array(text, '\\s+'),
-                         x -> x <> '')) AS n_words,
-         list_aggregate(list_transform(
-             list_filter(regexp_split_to_array(text, '\\s+'),
-                         x -> x <> ''), x -> len(x)), 'sum') AS sum_wlen,
-         len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'),
-                                     x -> x <> ''),
-             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
-         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-           AS n_punct,
-         len(text) AS n_chars, lang
-  FROM documents),
-qual AS (
-  SELECT doc_id FROM qsig
-  WHERE n_words >= 10 AND n_words <= 500
-    AND CAST(sum_wlen AS DOUBLE) / n_words >= 2.5
-    AND CAST(sum_wlen AS DOUBLE) / n_words <= 9.0
-    AND CAST(n_punct AS DOUBLE) / n_chars <= 0.1
-    AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
-    AND lang IN ('en', 'de')),
+qsig AS ({QUALITY_SIG_SQL}),
+qual AS (SELECT doc_id FROM qsig WHERE {QUALITY_KEEP_SQL}),
 lscores AS ({{LANG_UNIONS}}),
 lpick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY hits DESC, lang DESC) AS rk FROM lscores),
@@ -2697,15 +2686,7 @@ FROM c, unnest(generate_series(
     CAST(floor(prev / {PACK_BLOCK}) AS BIGINT),
     CAST(floor((prev + n_tok - 1) / {PACK_BLOCK}) AS BIGINT))) AS t(b)
 WHERE n_tok > 0
-""".replace("{LANG_UNIONS}", " UNION ALL ".join(
-    f"""SELECT doc_id, '{lang}' AS lang,
-              len(list_filter(string_split(text, ' '),
-                              w -> w IN ({', '.join(repr(w) for w in sw)})))
-                AS hits
-            FROM documents"""
-    for lang, sw in sorted(
-        __import__("light_curve_python_spark.operators.text",
-                   fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS.items())))
+""".replace("{LANG_UNIONS}", _lang_unions_sql())
 
 
 # --------------------------------------------------------------------------

@@ -54,6 +54,11 @@ N_ENTITIES = max(200, int(20000 * SF))
 PROBES_PER_ENTITY = 48  # sized so kernel compute dominates fixed overhead
 N_ANN_PROBES = 100      # ANN probe set for the lsh headline + recall
 ANN_K = 10
+# ONE operating point for both the timed lsh headline and the published
+# recall@k — 4 planes x 8 tables, sized for this corpus's weakly-similar
+# top-k regime (exact top-10 cosines ~0.26-0.37 => per-plane collision
+# ~0.59; 8 planes would prune recall to ~3%)
+LSH_PARAMS = dict(dim=64, n_planes=4, seed=42, n_tables=8)
 
 
 def _force(df):
@@ -255,11 +260,7 @@ def _headline_queries(spark, obs_path, probes_path):
         emb = s.read.parquet(f"{SF_DIR}/embeddings.parquet") \
             .select("vec_id", "embedding")
         probes = emb.filter(F.col("vec_id") < N_ANN_PROBES)
-        # 4 planes x 8 tables: sized for this corpus's weakly-similar
-        # top-k regime (exact top-10 cosines ~0.26-0.37 => per-plane
-        # collision ~0.59; 8 planes would prune recall to ~3%)
-        return lsh_topk(emb, probes, k=ANN_K, dim=64, n_planes=4,
-                        seed=42, n_tables=8)
+        return lsh_topk(emb, probes, k=ANN_K, **LSH_PARAMS)
 
     return {
         "pit_extract_full_battery": pit_full,
@@ -307,13 +308,14 @@ def _lsh_recall(spark) -> dict:
         return round(sum(vals) / max(len(vals), 1), 4)
 
     exact = topk_sets(cosine_topk(emb, probes, k=ANN_K, id_col="vec_id"))
-    lsh = topk_sets(lsh_topk(emb, probes, k=ANN_K, dim=64, n_planes=4,
-                             seed=42, n_tables=8, id_col="vec_id"))
+    lsh = topk_sets(lsh_topk(emb, probes, k=ANN_K, id_col="vec_id",
+                             **LSH_PARAMS))
     ivf = topk_sets(ivf_topk(emb, probes, k=ANN_K, n_cells=16,
                              n_probe_cells=4, seed=42, id_col="vec_id"))
     return {"k": ANN_K, "n_probes": len(exact),
             "lsh": {"recall": recall_of(lsh, exact),
-                    "n_planes": 4, "n_tables": 8},
+                    "n_planes": LSH_PARAMS["n_planes"],
+                    "n_tables": LSH_PARAMS["n_tables"]},
             "ivf": {"recall": recall_of(ivf, exact),
                     "n_cells": 16, "n_probe_cells": 4}}
 

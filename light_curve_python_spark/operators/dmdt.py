@@ -34,7 +34,7 @@ __all__ = ["log_dt_edges", "linear_edges", "asinh_edges", "grid_edges",
            "from_borders", "dmdt_points_kernel",
            "dmdt_gausses_kernel", "count_dt_kernel", "normalize_dmdt",
            "dmdt_points_sql", "count_dt_sql", "edge_bin_expr",
-           "edge_bin_sql"]
+           "edge_bin_sql", "sql_double_lit"]
 
 
 def log_dt_edges(min_lgdt: float, max_lgdt: float, n: int) -> np.ndarray:
@@ -210,13 +210,20 @@ def edge_bin_expr(x, edges: Sequence[float]):
     return F.size(F.filter(arr, lambda e: e <= x)) - 1
 
 
+def sql_double_lit(v: float) -> str:
+    """An EXACT double literal for DuckDB oracle SQL.  The STRING-cast
+    form is load-bearing: DuckDB types a bare fractional literal as
+    DECIMAL before any cast applies, rounding the value by an ulp,
+    whereas a string parses straight to DOUBLE; Python repr round-trips
+    the shortest exact form, so both engines hold the same IEEE value.
+    Shared by every generated twin that embeds float constants."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
 def edge_bin_sql(expr: str, edges: Sequence[float]) -> str:
-    """DuckDB twin of ``edge_bin_expr`` (identical double literals via
-    repr — both engines parse to the same IEEE value; the STRING-cast form
-    is load-bearing: DuckDB types a bare fractional literal as DECIMAL
-    before any cast applies, rounding the border by an ulp and shifting
-    exact-edge bins, whereas a string parses straight to DOUBLE)."""
-    lits = ", ".join(f"CAST('{float(e)!r}' AS DOUBLE)" for e in edges)
+    """DuckDB twin of ``edge_bin_expr`` — identical border doubles via
+    ``sql_double_lit``."""
+    lits = ", ".join(sql_double_lit(e) for e in edges)
     return f"(len(list_filter([{lits}], e -> e <= ({expr}))) - 1)"
 
 

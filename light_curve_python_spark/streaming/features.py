@@ -130,6 +130,8 @@ QUANTILE_STREAM_NAMES = ("observation_count", "median",
                          "inter_percentile_range", "q05", "q95",
                          "quantile_err_bound")
 
+_HALF_MAX = 8.988465674311579e307    # DBL_MAX / 2: keeps hi - lo finite
+
 _QSTATE_SCHEMA = T.StructType([
     T.StructField("lo", T.DoubleType()),
     T.StructField("hi", T.DoubleType()),
@@ -137,33 +139,28 @@ _QSTATE_SCHEMA = T.StructType([
 ])
 
 
-def _hist_order_stat(counts, lo, width, k):
-    """Estimate the k-th (1-based) order statistic from an equi-width
-    histogram: the true value lies in the bin where the cumulative count
-    reaches k, so any in-bin position is within one bin width of it
-    (mass is spread uniformly inside the bin)."""
-    cum = 0
-    for i, c in enumerate(counts):
-        if c and cum + c >= k:
-            return lo + (i + (k - cum - 0.5) / c) * width
-        cum += c
-    return lo + len(counts) * width
-
-
-def _hist_quantile(counts, lo, width, n, q):
-    """Hazen quantile estimate: interpolate between the two bracketing
-    ORDER-STATISTIC estimates (each within one bin width of its true
-    value, so the convex combination is too) — interpolating cumulative
-    position directly would be off by the full gap between adjacent
-    order statistics, not by a bin."""
-    h = q * n - 0.5                      # 0-based continuous Hazen rank
-    h = min(max(h, 0.0), n - 1.0)
-    k = math.floor(h)
+def _hist_quantiles(counts, lo, width, n, qs):
+    """Hazen quantile estimates for all ``qs`` at once: interpolate
+    between the two bracketing ORDER-STATISTIC estimates (the true k-th
+    order statistic lies in the bin where the cumulative count reaches
+    k, so each estimate — and their convex combination — is within one
+    bin width of its true value; interpolating cumulative position
+    directly would be off by the full gap between adjacent order
+    statistics, not by a bin).  One cumsum + vectorized searchsorted per
+    call — this runs once per observation in the streaming hot path."""
+    import numpy as np
+    cum = np.cumsum(counts)
+    h = np.clip(np.asarray(qs, dtype=np.float64) * n - 0.5, 0.0, n - 1.0)
+    k = np.floor(h).astype(np.int64)
     frac = h - k
-    x0 = _hist_order_stat(counts, lo, width, k + 1)
-    if frac == 0.0:
-        return x0
-    x1 = _hist_order_stat(counts, lo, width, k + 2)
+
+    def order_stat(ranks):
+        idx = np.searchsorted(cum, ranks)       # first bin with cum >= rank
+        prev = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0)
+        return lo + (idx + (ranks - prev - 0.5) / counts[idx]) * width
+
+    x0 = order_stat(k + 1)
+    x1 = order_stat(np.minimum(k + 2, np.int64(n)))
     return (1.0 - frac) * x0 + frac * x1
 
 
@@ -195,6 +192,10 @@ def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
     import numpy as np
     if late_policy not in ("drop", "fold"):
         raise ValueError("late_policy must be 'drop' or 'fold'")
+    if bins < 2 or bins % 2 != 0:
+        # range doubling merges bin PAIRS; an odd count would crash at
+        # the first expansion, mid-stream, after state was committed
+        raise ValueError("bins must be an even number >= 2")
     out_schema = T.StructType(
         [obs.schema[key_col], T.StructField(t_col, T.DoubleType())]
         + [T.StructField(n, T.DoubleType()) for n in QUANTILE_STREAM_NAMES])
@@ -212,12 +213,17 @@ def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
             last_t = math.nan
 
         def _bin(x, width):
-            return min(int((x - lo) / width), bins - 1)
+            return min(max(int((x - lo) / width), 0), bins - 1)
 
         def fold(v):
             # invariant: counts always carries ALL folded mass — in the
             # degenerate (single distinct value) phase it sits in bin 0
             nonlocal lo, hi, counts
+            # keep hi - lo representable: magnitudes beyond DBL_MAX/2
+            # clamp into the boundary cells (the error contract does not
+            # cover such inputs; without the clamp the doubling loop
+            # overflows lo/hi to +/-inf and int(nan) kills the stream)
+            v = min(max(v, -_HALF_MAX), _HALF_MAX)
             if math.isnan(lo):
                 lo = hi = v
                 counts[0] += 1
@@ -236,15 +242,18 @@ def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
             while v < lo or v >= hi:
                 # double the range, merging bin pairs (old mass maps to
                 # the upper/lower half) — state stays O(bins) forever
+                if (v < lo and lo <= -_HALF_MAX) \
+                        or (v >= hi and hi >= _HALF_MAX):
+                    break            # fully clamped; _bin clamps the index
                 width = hi - lo
                 merged = counts.reshape(bins // 2, 2).sum(axis=1)
                 counts[:] = 0
                 if v < lo:
                     counts[bins // 2:] = merged
-                    lo = lo - width
+                    lo = max(lo - width, -_HALF_MAX)
                 else:
                     counts[:bins // 2] = merged
-                    hi = hi + width
+                    hi = min(hi + width, _HALF_MAX)
             counts[_bin(v, (hi - lo) / bins)] += 1
 
         rows = pd.concat(list(pdfs), ignore_index=True) \
@@ -254,23 +263,28 @@ def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
             if late_policy == "drop" and not math.isnan(last_t) \
                     and t < last_t:
                 continue
+            if not math.isfinite(m):
+                # a non-finite value has no histogram cell; folding it
+                # would crash mid-stream — skip it (and emit nothing for
+                # it), mirroring the upstream finite-validation contract
+                continue
             last_t = t
             fold(m)
             n = float(counts.sum())
             if hi == lo:
-                qs = {q: lo for q in (0.05, 0.25, 0.5, 0.75, 0.95)}
+                q05 = q25 = q50 = q75 = q95 = lo
                 err = 0.0
             else:
                 width = (hi - lo) / bins
-                qs = {q: _hist_quantile(counts, lo, width, n, q)
-                      for q in (0.05, 0.25, 0.5, 0.75, 0.95)}
+                q05, q25, q50, q75, q95 = _hist_quantiles(
+                    counts, lo, width, n, (0.05, 0.25, 0.5, 0.75, 0.95))
                 err = 2.0 * width
             out[t_col].append(t)
             out["observation_count"].append(n)
-            out["median"].append(qs[0.5])
-            out["inter_percentile_range"].append(qs[0.75] - qs[0.25])
-            out["q05"].append(qs[0.05])
-            out["q95"].append(qs[0.95])
+            out["median"].append(q50)
+            out["inter_percentile_range"].append(q75 - q25)
+            out["q05"].append(q05)
+            out["q95"].append(q95)
             out["quantile_err_bound"].append(err)
         blob = counts.tobytes() + np.float64(last_t).tobytes()
         state.update((float(lo), float(hi), blob))

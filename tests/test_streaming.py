@@ -395,3 +395,39 @@ def test_streaming_quantile_features_within_bound(spark, tmp_path):
         spread = m.max() - m.min()
         assert g.quantile_err_bound.iloc[-1] <= 8.01 * spread / 128
     assert checked == len(pdf)
+
+
+def test_streaming_quantile_features_extreme_values(spark, tmp_path):
+    """Finite values with astronomical dynamic range must not overflow
+    the range-doubling loop (lo/hi clamp at DBL_MAX/2; beyond that,
+    values land in the boundary cells instead of killing the stream);
+    odd bin counts are rejected at the API boundary."""
+    import numpy as np
+    from light_curve_python_spark.streaming.features import (
+        streaming_quantile_features,
+    )
+    pdf = pd.DataFrame({
+        "doc_id": "e0",
+        "t": [1.0, 2.0, 3.0, 4.0],
+        "m": [1.0, 1.0 + 1e-13, -1.7e308, 1.6e308],
+        "sigma": 0.1})
+    src = str(tmp_path / "xsrc")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+        .parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, t double, m double, sigma double").parquet(src)
+    out_dir = str(tmp_path / "xout")
+    q = (streaming_quantile_features(stream, bins=8)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "xckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("t")
+    assert len(got) == 4
+    assert np.isfinite(got.quantile_err_bound).all()
+    assert np.isfinite(got["median"]).all()
+    # median of {1, 1+eps, -1.7e308(clamped), 1.6e308} stays near 1
+    # within the (huge but finite) emitted bound
+    assert abs(got["median"].iloc[-1]) <= got.quantile_err_bound.iloc[-1]
+    with pytest.raises(ValueError, match="even"):
+        streaming_quantile_features(stream, bins=7)
