@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 from typing import Iterable, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -32,10 +33,11 @@ STREAM_FEATURE_NAMES = ("observation_count", "mean", "standard_deviation",
                         "maximum_time_interval")
 
 
-def _output_schema(key_field: T.StructField, ts_col: str) -> T.StructType:
+def _output_schema(key_field: T.StructField, ts_col: str,
+                   names=STREAM_FEATURE_NAMES) -> T.StructType:
     return T.StructType(
         [key_field, T.StructField(ts_col, T.DoubleType())]
-        + [T.StructField(n, T.DoubleType()) for n in STREAM_FEATURE_NAMES])
+        + [T.StructField(n, T.DoubleType()) for n in names])
 
 
 STATE_SCHEMA = T.StructType([
@@ -87,6 +89,11 @@ def streaming_pit_features(obs: DataFrame, key_col: str = "doc_id",
             .sort_values(t_col, kind="mergesort")
         out = {c: [] for c in (t_col,) + STREAM_FEATURE_NAMES}
         for t, m, s in zip(rows[t_col], rows[m_col], rows[sigma_col]):
+            if not math.isfinite(t):
+                # a NaN/null event time would poison last_t and silently
+                # DISABLE the late-row guard for every later batch (NaN
+                # comparisons are all False) — skip the row instead
+                continue
             if late_policy == "drop" and not math.isnan(last_t) \
                     and t < last_t:
                 continue      # late cross-batch row: unservable leak-free
@@ -135,6 +142,8 @@ _HALF_MAX = 8.988465674311579e307    # DBL_MAX / 2: keeps hi - lo finite
 _QSTATE_SCHEMA = T.StructType([
     T.StructField("lo", T.DoubleType()),
     T.StructField("hi", T.DoubleType()),
+    T.StructField("last_t", T.DoubleType()),
+    T.StructField("n_bins", T.IntegerType()),
     T.StructField("counts", T.BinaryType()),
 ])
 
@@ -148,7 +157,6 @@ def _hist_quantiles(counts, lo, width, n, qs):
     directly would be off by the full gap between adjacent order
     statistics, not by a bin).  One cumsum + vectorized searchsorted per
     call — this runs once per observation in the streaming hot path."""
-    import numpy as np
     cum = np.cumsum(counts)
     h = np.clip(np.asarray(qs, dtype=np.float64) * n - 0.5, 0.0, n - 1.0)
     k = np.floor(h).astype(np.int64)
@@ -189,30 +197,40 @@ def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
 
     ``late_policy`` follows ``streaming_pit_features`` ('drop' keeps the
     zero-leakage guarantee; 'fold' is arrival-order)."""
-    import numpy as np
     if late_policy not in ("drop", "fold"):
         raise ValueError("late_policy must be 'drop' or 'fold'")
     if bins < 2 or bins % 2 != 0:
         # range doubling merges bin PAIRS; an odd count would crash at
         # the first expansion, mid-stream, after state was committed
         raise ValueError("bins must be an even number >= 2")
-    out_schema = T.StructType(
-        [obs.schema[key_col], T.StructField(t_col, T.DoubleType())]
-        + [T.StructField(n, T.DoubleType()) for n in QUANTILE_STREAM_NAMES])
+    out_schema = _output_schema(obs.schema[key_col], t_col,
+                                QUANTILE_STREAM_NAMES)
 
     def fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            lo, hi, blob = state.get
-            counts = np.frombuffer(blob[:bins * 8], dtype=np.int64).copy()
-            last_t = float(np.frombuffer(blob[bins * 8:],
-                                         dtype=np.float64)[0])
+            lo, hi, last_t, state_bins, blob = state.get
+            if state_bins != bins:
+                # the blob layout is bins-dependent: resuming a
+                # checkpoint with a different bins would silently drop
+                # half the mass (smaller) or crash mid-batch (larger)
+                raise ValueError(
+                    f"checkpointed state was written with bins="
+                    f"{state_bins}; restart with the same value "
+                    f"(got {bins})")
+            counts = np.frombuffer(blob, dtype=np.int64).copy()
         else:
             lo = hi = math.nan
             counts = np.zeros(bins, dtype=np.int64)
             last_t = math.nan
 
         def _bin(x, width):
+            if width <= 0.0:
+                # subnormal spread: (hi-lo)/bins can underflow to 0 for
+                # hi > lo — everything lands in cell 0 and the estimate
+                # degrades gracefully to lo (err bound hi-lo, itself
+                # subnormal) instead of dividing by zero mid-stream
+                return 0
             return min(max(int((x - lo) / width), 0), bins - 1)
 
         def fold(v):
@@ -259,7 +277,13 @@ def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
         rows = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values(t_col, kind="mergesort")
         out = {c: [] for c in (t_col,) + QUANTILE_STREAM_NAMES}
+        n = float(counts.sum())     # incremental below: one fold = +1
         for t, m in zip(rows[t_col], rows[m_col]):
+            if not math.isfinite(t):
+                # a NaN/null event time would poison last_t and silently
+                # DISABLE the late-row guard for every later batch (NaN
+                # comparisons are all False) — skip the row instead
+                continue
             if late_policy == "drop" and not math.isnan(last_t) \
                     and t < last_t:
                 continue
@@ -270,12 +294,13 @@ def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
                 continue
             last_t = t
             fold(m)
-            n = float(counts.sum())
-            if hi == lo:
+            n += 1.0
+            width = (hi - lo) / bins
+            if width <= 0.0:
+                # identical values, or subnormal spread (see _bin)
                 q05 = q25 = q50 = q75 = q95 = lo
-                err = 0.0
+                err = hi - lo
             else:
-                width = (hi - lo) / bins
                 q05, q25, q50, q75, q95 = _hist_quantiles(
                     counts, lo, width, n, (0.05, 0.25, 0.5, 0.75, 0.95))
                 err = 2.0 * width
@@ -286,8 +311,8 @@ def streaming_quantile_features(obs: DataFrame, key_col: str = "doc_id",
             out["q05"].append(q05)
             out["q95"].append(q95)
             out["quantile_err_bound"].append(err)
-        blob = counts.tobytes() + np.float64(last_t).tobytes()
-        state.update((float(lo), float(hi), blob))
+        state.update((float(lo), float(hi), float(last_t), bins,
+                      counts.tobytes()))
         res = pd.DataFrame(out)
         res.insert(0, key_col, key[0])
         yield res

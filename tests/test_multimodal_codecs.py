@@ -110,3 +110,15 @@ def test_real_codec_pipeline_mixed_kinds(spark):
     assert out.loc["vid", "kind"] == "video"
     fv = out.loc["vid", "feature"]
     assert (fv[0], fv[1], fv[2]) == (8.0, 6.0, 2.0)      # w, h, sampled
+
+
+def test_multimodal_golden_matches_fresh_computation(spark):
+    """MULTIMODAL_GOLDEN (the driver oracle's pinned VALUES twin) must
+    equal a fresh run of the real codec path on the deterministic
+    payloads — a codec/featurization change fails HERE, loudly, not just
+    in the driver's hash gate."""
+    import __spark_entry__ as E
+    rows = E.q_multimodal_features(spark, None).collect()
+    got = sorted((r.media_id, r.kind, r.n_bytes, r.pos, r.sha256, r.feat)
+                 for r in rows)
+    assert got == sorted(E.MULTIMODAL_GOLDEN)

@@ -431,3 +431,37 @@ def test_streaming_quantile_features_extreme_values(spark, tmp_path):
     assert abs(got["median"].iloc[-1]) <= got.quantile_err_bound.iloc[-1]
     with pytest.raises(ValueError, match="even"):
         streaming_quantile_features(stream, bins=7)
+
+
+def test_streaming_features_skip_nan_event_time(spark, tmp_path):
+    """A NaN event time must not poison last_t (NaN comparisons are all
+    False, which would silently disable the late-row drop guard):
+    NaN-t rows are skipped in both streaming feature families, and a
+    subsequent late row is still dropped."""
+    import numpy as np
+    from light_curve_python_spark.streaming.features import (
+        streaming_pit_features,
+        streaming_quantile_features,
+    )
+    b1 = pd.DataFrame({"doc_id": "e0", "t": [100.0, float("nan")],
+                       "m": [1.0, 2.0], "sigma": 0.1})
+    b2 = pd.DataFrame({"doc_id": "e0", "t": [50.0, 200.0],
+                       "m": [3.0, 4.0], "sigma": 0.1})
+    src = str(tmp_path / "nsrc")
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite") \
+        .parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    for name, op in (("pit", streaming_pit_features),
+                     ("q", streaming_quantile_features)):
+        out_dir = str(tmp_path / f"nout_{name}")
+        q = (op(spark.readStream.schema(
+                "doc_id string, t double, m double, sigma double")
+                .option("maxFilesPerTrigger", 1).parquet(src))
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / f"nckpt_{name}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(out_dir).toPandas().sort_values("t")
+        # NaN-t row skipped; t=50 (late, cross-batch) dropped; 100+200 kept
+        assert sorted(got.t.tolist()) == [100.0, 200.0], name
+        assert got.observation_count.max() == 2, name
