@@ -358,6 +358,19 @@ class PrefixBattery:
             mwbuf_b = np.empty(n)
 
         prev = 0
+        ad_parts: list = []      # sorted-prefix snapshots, loop order
+        ad_pis: list = []
+        otsu_parts: list = []
+        otsu_cums: list = []
+        otsu_pis: list = []
+        w_parts: list = []
+        mw_parts: list = []
+        w_pis: list = []
+        st_j: list = []
+        st_c: list = []
+        ro_j: list = []
+        ro_c: list = []
+        ar1 = np.arange(1, n + 1) if need_cusum else None
         for pi in order:
             k = int(ctx.ends[pi])
             if k > prev:
@@ -422,61 +435,166 @@ class PrefixBattery:
                 hi_i = np.searchsorted(win_s, mean + v * std, side="right")
                 res["beyond_count"][v][pi] = lo_i + (k - hi_i)
             if need_otsu and k >= 2:
-                amounts = np.arange(1, k)
-                cum0 = np.cumsum(win_s)[:-1]
-                tot = cum0[-1] + win_s[-1]
-                mean0 = cum0 / amounts
-                mean1 = (tot - cum0) / (k - amounts)
-                w0 = amounts / k
-                icv = w0 * (1 - w0) * (mean0 - mean1) ** 2
-                arg = int(np.argmax(icv))
-                lower = win_s[:arg + 1]
-                upper = win_s[arg + 1:]
-                res["otsu"][pi] = (
-                    mean1[arg] - mean0[arg],
-                    0.0 if len(lower) == 1 else np.std(lower, ddof=1),
-                    0.0 if len(upper) == 1 else np.std(upper, ddof=1),
-                    (arg + 1) / k)
+                # DEFERRED like AD: snapshot the sorted prefix and its
+                # fresh per-segment cumsum (computed HERE so the split
+                # selection stays bit-identical to np.cumsum of the
+                # window — a global-cumsum-minus-offset trick would not
+                # be); the icv/argmax/std arithmetic runs flat after the
+                # loop
+                otsu_parts.append(win_s.copy())
+                otsu_cums.append(np.cumsum(win_s))
+                otsu_pis.append(pi)
             if need_ad and k >= 4:
-                mean = win_s.mean()
-                std = win_s.std(ddof=1)
-                if std > 0:
-                    z = (win_s - mean) / std
-                    cdf = ndtr(z)
-                    eps = np.finfo(np.float64).tiny
-                    logcdf = np.log(np.clip(cdf, eps, None))
-                    logsf = np.log(np.clip(1.0 - cdf, eps, None))
-                    i = np.arange(1, k + 1)
-                    a2 = -k - np.sum((2 * i - 1.0) / k
-                                     * (logcdf + logsf[::-1]))
-                    res["ad"][pi] = a2 * (1 + 4.0 / k - 25.0 / k ** 2)
+                # DEFERRED: snapshot the sorted prefix; all probes' A²
+                # evaluate in ONE flat ndtr/log pass after the loop (the
+                # per-probe ndtr call was 58% of the full battery — its
+                # branch-mask overhead dominates at a few hundred points)
+                ad_parts.append(win_s.copy())
+                ad_pis.append(pi)
             if need_wsums and k >= 2:
-                cumw = np.cumsum(wbuf_a[:k])
-                cummw = np.cumsum(mwbuf_a[:k])
-                W = cumw[-1]
-                MW = cummw[-1]
+                # DEFERRED: snapshot the sorted-order weight rails; the
+                # two cumsums per probe become ONE flat cumsum after the
+                # loop (only two positions of each cumsum are ever read —
+                # the split index and the total)
+                w_parts.append(wbuf_a[:k].copy())
+                mw_parts.append(mwbuf_a[:k].copy())
+                w_pis.append(pi)
                 if need_stetson:
                     mu = cwm[k] / cw[k]
-                    mu_s = mu - m0
-                    j = np.searchsorted(win_s, mu)
-                    Wb = cumw[j - 1] if j > 0 else 0.0
-                    MWb = cummw[j - 1] if j > 0 else 0.0
-                    res["stetson_num"][pi] = (mu_s * Wb - MWb
-                                              + (MW - MWb)
-                                              - mu_s * (W - Wb))
+                    st_j.append(int(np.searchsorted(win_s, mu)))
+                    st_c.append(mu - m0)
                 if need_roms:
                     med = res["median"][pi]
-                    med_s = med - m0
-                    j = np.searchsorted(win_s, med)
-                    Wb = cumw[j - 1] if j > 0 else 0.0
-                    MWb = cummw[j - 1] if j > 0 else 0.0
-                    res["roms_sum"][pi] = (med_s * Wb - MWb
-                                           + (MW - MWb)
-                                           - med_s * (W - Wb))
+                    ro_j.append(int(np.searchsorted(win_s, med)))
+                    ro_c.append(med - m0)
             if need_cusum and k >= 2:
-                c_ = cumsum_m[:k] - np.arange(1, k + 1) * (cumsum_m[k - 1] / k)
+                c_ = cumsum_m[:k] - ar1[:k] * (cumsum_m[k - 1] / k)
                 res["cusum_ptp"][pi] = float(c_.max() - c_.min())
+        if w_parts:
+            self._wsums_flat(w_parts, mw_parts, w_pis,
+                             st_j, st_c, res["stetson_num"],
+                             ro_j, ro_c, res["roms_sum"])
+        if ad_parts:
+            self._ad_flat(ad_parts, ad_pis, res["ad"])
+        if otsu_parts:
+            self._otsu_flat(otsu_parts, otsu_cums, otsu_pis, res["otsu"])
         return res
+
+    @staticmethod
+    def _wsums_flat(w_parts, mw_parts, pis, st_j, st_c, st_out,
+                    ro_j, ro_c, ro_out):
+        """stetson/roms weighted-sum identities over every snapshot at
+        once: one flat cumsum pair with per-segment base subtraction
+        (each probe reads only the split position and the segment total;
+        values differ from the per-probe cumsum by ulps, absorbed by
+        oracle rounding)."""
+        ks = np.array([len(p) for p in w_parts], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(ks)[:-1]))
+        cs_w = np.cumsum(np.concatenate(w_parts))
+        cs_mw = np.cumsum(np.concatenate(mw_parts))
+        base_w = np.where(starts > 0, cs_w[starts - 1], 0.0)
+        base_mw = np.where(starts > 0, cs_mw[starts - 1], 0.0)
+        W = cs_w[starts + ks - 1] - base_w
+        MW = cs_mw[starts + ks - 1] - base_mw
+
+        def emit(js, cents, out):
+            j = np.asarray(js, dtype=np.int64)
+            c = np.asarray(cents, dtype=np.float64)
+            pos = starts + j - 1
+            Wb = np.where(j > 0, cs_w[np.maximum(pos, 0)] - base_w, 0.0)
+            MWb = np.where(j > 0, cs_mw[np.maximum(pos, 0)] - base_mw, 0.0)
+            vals = c * Wb - MWb + (MW - MWb) - c * (W - Wb)
+            for i, pi in enumerate(pis):
+                out[pi] = vals[i]
+
+        if st_j:
+            emit(st_j, st_c, st_out)
+        if ro_j:
+            emit(ro_j, ro_c, ro_out)
+
+    @staticmethod
+    def _otsu_flat(parts, cums, pis, out):
+        """Otsu split over every snapshot at once.  The inter-class
+        variance and its argmax are ELEMENTWISE on the in-loop per-window
+        cumsums, so the chosen split is bit-identical to the per-probe
+        form; the subset stds use shifted prefix-sum identities (values
+        within an ulp-scale of np.std(ddof=1), absorbed by oracle
+        rounding)."""
+        ks = np.array([len(p) for p in parts], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(ks)[:-1]))
+        N = int(ks.sum())
+        flat = np.concatenate(parts)
+        flat_cum = np.concatenate(cums)
+        kr = np.repeat(ks, ks).astype(np.float64)
+        tot = np.repeat(flat_cum[starts + ks - 1], ks)
+        lpos = np.arange(N) - np.repeat(starts, ks)      # 0-based in-segment
+        cnt0 = lpos + 1.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean0 = flat_cum / cnt0
+            mean1 = (tot - flat_cum) / (kr - cnt0)
+            w0 = cnt0 / kr
+            icv = w0 * (1.0 - w0) * (mean0 - mean1) ** 2
+        icv[lpos == kr - 1] = -np.inf                    # no empty upper set
+        seg_max = np.maximum.reduceat(icv, starts)
+        # first index attaining the max == np.argmax's tie rule
+        cand = np.where(icv == np.repeat(seg_max, ks), np.arange(N), N)
+        argpos = np.minimum.reduceat(cand, starts)       # global flat index
+        arg = argpos - starts                            # == old local arg
+        # subset stds via prefix sums of FIRST-ELEMENT-shifted values
+        # (the shift bounds the cancellation by the window range, not the
+        # absolute magnitude); ddof=1, single-element subsets -> 0
+        shifted = flat - np.repeat(flat[starts], ks)
+        cs = np.cumsum(shifted)
+        csq = np.cumsum(shifted * shifted)
+        base_s = np.where(starts > 0, cs[starts - 1], 0.0)
+        base_q = np.where(starts > 0, csq[starts - 1], 0.0)
+        s_lo = cs[argpos] - base_s
+        q_lo = csq[argpos] - base_q
+        s_tot = cs[starts + ks - 1] - base_s
+        q_tot = csq[starts + ks - 1] - base_q
+        n_lo = (arg + 1).astype(np.float64)
+        n_up = ks - n_lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var_lo = (q_lo - s_lo * s_lo / n_lo) / (n_lo - 1.0)
+            var_up = ((q_tot - q_lo) - (s_tot - s_lo) ** 2 / n_up) \
+                / (n_up - 1.0)
+        std_lo = np.where(n_lo > 1, np.sqrt(np.maximum(var_lo, 0.0)), 0.0)
+        std_up = np.where(n_up > 1, np.sqrt(np.maximum(var_up, 0.0)), 0.0)
+        for i, pi in enumerate(pis):
+            p = argpos[i]
+            out[pi] = (mean1[p] - mean0[p], std_lo[i], std_up[i],
+                       (arg[i] + 1) / ks[i])
+
+    @staticmethod
+    def _ad_flat(parts, pis, out):
+        """AndersonDarlingNormal over every snapshot at once: one
+        concatenated ndtr + log evaluation with per-segment weights —
+        logsf's reversal folds into the weight (2(k-j)+1)/k, so no
+        per-segment flips are needed.  Identical formula to the per-probe
+        form; summation is segment reduceat instead of np.sum (ulp-level
+        difference only, absorbed by the oracle rounding)."""
+        ks = np.array([len(p) for p in parts], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(ks)[:-1]))
+        flat = np.concatenate(parts)
+        kr = np.repeat(ks, ks).astype(np.float64)
+        means = np.add.reduceat(flat, starts) / ks
+        centered = flat - np.repeat(means, ks)
+        var = np.add.reduceat(centered * centered, starts) / (ks - 1.0)
+        ok = var > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = centered / np.repeat(np.sqrt(var), ks)
+            cdf = ndtr(z)
+            eps = np.finfo(np.float64).tiny
+            logcdf = np.log(np.clip(cdf, eps, None))
+            logsf = np.log(np.clip(1.0 - cdf, eps, None))
+            j = np.arange(len(flat)) - np.repeat(starts, ks) + 1.0
+            contrib = ((2.0 * j - 1.0) / kr * logcdf
+                       + (2.0 * (kr - j) + 1.0) / kr * logsf)
+            a2 = -ks - np.add.reduceat(contrib, starts)
+            a2 = a2 * (1 + 4.0 / ks - 25.0 / ks ** 2)
+        for i, pi in enumerate(pis):
+            if ok[i]:
+                out[pi] = a2[i]
 
     # ---- per-kernel dispatch -------------------------------------------------
 
