@@ -2461,8 +2461,9 @@ def q_pii_scrub(spark, sf_dir):
     """PII redaction (operators/text.py pii_scrub) over text augmented
     with deterministic synthetic PII (the corpus itself is clean word
     soup, so both engines append the same doc_id-derived email/phone/IP
-    before scrubbing — exercising every pattern).  Counts are measured on
-    the original text; replacement order is fixed (email first)."""
+    before scrubbing — exercising every pattern).  Counts are STAGED:
+    each pattern counted on the text after the previous redactions, so
+    audit stats always equal the placeholders in text_clean."""
     from light_curve_python_spark.operators.text import pii_scrub
     aug = _docs(spark, sf_dir).select(
         "doc_id",
@@ -2478,25 +2479,35 @@ def q_pii_scrub(spark, sf_dir):
                       "text_clean")
 
 
+# counts are STAGED like the operator: each pattern is counted on the
+# text after the previous redactions, so the audit stats always equal
+# the placeholder tokens present in text_clean
 SQL_PII_SCRUB = r"""
 WITH aug AS (
   SELECT doc_id,
          text || ' contact user' || doc_id
               || '@example.com or +1 555 000 ' || doc_id
               || ' at 10.0.0.' || (doc_id % 256) AS text
-  FROM documents)
-SELECT doc_id,
-  len(regexp_extract_all(text,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-  len(regexp_extract_all(text, '\+?[0-9][0-9() -]{7,}[0-9]')) AS n_phone,
-  len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(text,
-        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
-    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS text_clean
-FROM aug
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        '<EMAIL>', 'g') AS t1
+  FROM aug),
+s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t1, '\+?[0-9][0-9() -]{7,}[0-9]')) AS n_phone,
+    regexp_replace(t1, '\+?[0-9][0-9() -]{7,}[0-9]',
+                   '<PHONE>', 'g') AS t2
+  FROM s1)
+SELECT doc_id, n_email, n_phone,
+  len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+  regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')
+    AS text_clean
+FROM s2
 """
 
 

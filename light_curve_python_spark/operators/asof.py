@@ -52,8 +52,13 @@ def asof_join(probes: DataFrame, obs: DataFrame, on: Sequence[str] | str,
     overlap = set(value_cols) & set(probes.columns)
     if overlap:
         raise ValueError(f"value_cols collide with probe columns: {overlap}")
-    if "__asof_t" in value_cols:
-        raise ValueError("'__asof_t' is reserved")
+    reserved = {"__asof_t", "_t", "_is_probe", "_matched_t", "_obs_row"}
+    taken = reserved & (set(value_cols) | set(probes.columns))
+    if taken:
+        # probe columns ride through the tagged union unprefixed, so an
+        # input column with an internal name would make the window /
+        # drop operate on an ambiguous reference
+        raise ValueError(f"column names reserved by asof_join: {taken}")
 
     tagged_obs = obs.select(
         *keys,

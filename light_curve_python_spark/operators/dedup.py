@@ -74,6 +74,12 @@ def lsh_candidates(signatures: DataFrame, id_col: str = "doc_id",
                    n_hashes: int = 16, bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL rows of >= 1 band.
     Returns (id_a, id_b) with id_a < id_b, distinct."""
+    if n_hashes % bands != 0:
+        # a remainder would silently leave the last n_hashes % bands
+        # signature columns out of every band, lowering recall below
+        # what the caller configured
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands})")
     rows = n_hashes // bands
     band_cols = []
     for b in range(bands):

@@ -155,7 +155,10 @@ class FeatureExtractor:
         many SMALL groups (measured ~1.5-2x on 10k-entity event tables).
         ``False`` selects the one-call-per-group applyInPandas path
         (identical results; kept for comparison tests)."""
-        sigma_col = sigma_col if self.needs_sigma or sigma_col else None
+        # prune sigma when no kernel needs it (an explicitly passed
+        # column would otherwise ship through Arrow for nothing, and a
+        # sigma-less dataset would fail the select)
+        sigma_col = sigma_col if self.needs_sigma else None
         cols = [entity_col, t_col, m_col]
         if sigma_col:
             cols.append(sigma_col)
@@ -218,7 +221,10 @@ class FeatureExtractor:
         (entity, ts, uid) and the payload is joined back JVM-side by uid.
         Byte-identical result (it never leaves the JVM), far less Arrow I/O.
         """
-        sigma_col = sigma_col if self.needs_sigma or sigma_col else None
+        # prune sigma when no kernel needs it (an explicitly passed
+        # column would otherwise ship through Arrow for nothing, and a
+        # sigma-less dataset would fail the select)
+        sigma_col = sigma_col if self.needs_sigma else None
         arrow_ok = (use_arrow and horizon is None and self.bands is None)
         payload_cols = [c for c in probes.columns
                         if c not in (entity_col, ts_col)]
@@ -409,8 +415,8 @@ class FeatureExtractor:
                     return i
             raise ValueError(f"{role}: no struct field named {ref!r}")
 
-        sigma_field = sigma_field if self.needs_sigma or sigma_field \
-            else None
+        # prune when unneeded (and keep a valid falsy index 0 when needed)
+        sigma_field = sigma_field if self.needs_sigma else None
         t_idx = resolve(t_field, "t")
         m_idx = resolve(m_field, "m")
         s_idx = resolve(sigma_field, "sigma")
@@ -502,6 +508,14 @@ class FeatureExtractor:
         (features/bins.py:14-40): inverse-variance rebin into tumbling
         windows, then this extractor over the binned series."""
         from .bins import bin_series
+        if self.bands is not None:
+            # bin_series drops the band column (windows pool all bands),
+            # so banded extraction over binned series has no meaning —
+            # fail here instead of a cryptic select(None) downstream
+            raise ValueError(
+                "extract_binned does not support banded extractors: "
+                "bin_series pools observations across bands; build a "
+                "band-free extractor for the binned pass")
         binned = bin_series(obs, entity_col, t_col, m_col, sigma_col,
                             window=window, offset=offset)
         return self.extract(binned, entity_col, t_col, m_col, sigma_col,
@@ -547,11 +561,18 @@ class FeatureExtractor:
             names = [n for k in hit for n in k.names] if hit else [key]
             for n in names:
                 targets[n] = tname
+        # ONE projection for all transformed columns — a withColumn per
+        # target would stack O(bands x features) nested projections into
+        # the Catalyst plan
+        by_col = {}
         for name, tname in targets.items():
             for col in df.columns:
                 if col == name or (self.bands and any(
                         col == f"{name}_{b}" for b in self.bands)):
-                    df = df.withColumn(
-                        col, apply_transform_column(tname,
-                                                    F.col(f"`{col}`")))
-        return df
+                    by_col[col] = tname
+        if not by_col:
+            return df
+        return df.select(*[
+            apply_transform_column(by_col[c], F.col(f"`{c}`"))
+            .alias(c) if c in by_col else F.col(f"`{c}`")
+            for c in df.columns])

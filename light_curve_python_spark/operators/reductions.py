@@ -86,13 +86,16 @@ def non_overlapping_windows(df: DataFrame, arr_col: str = "tokens",
                             out_col: str = "sequence",
                             mask_col: str = "mask",
                             window_idx_col: str = "window_idx") -> DataFrame:
-    """ceil(len/seq_size) output rows per input row (reduction.py:343-365)."""
+    """ceil(len/seq_size) output rows per input row (reduction.py:343-365)
+    — ZERO rows for an empty array (the reference's range(0, 0, n) yields
+    no windows; emitting an all-padding row would inject fake empty
+    training blocks downstream)."""
     n = F.size(arr_col)
     n_windows = F.ceil(n / F.lit(seq_size)).cast("int")
-    exploded = df.withColumn(
-        window_idx_col, F.explode(F.sequence(F.lit(0),
-                                             F.greatest(n_windows - 1,
-                                                        F.lit(0)))))
+    exploded = (df.filter(n_windows >= 1)
+                .withColumn(window_idx_col,
+                            F.explode(F.sequence(F.lit(0),
+                                                 n_windows - 1))))
     win = F.slice(F.col(arr_col),
                   F.col(window_idx_col) * seq_size + 1, seq_size)
     out = exploded.withColumn("_win", win)

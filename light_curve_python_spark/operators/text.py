@@ -106,10 +106,12 @@ def language_id(df: DataFrame, text_col: str = "text",
                             lambda w: w.isin(*list(sw)))).alias("hits"),
             F.lit(lang).alias("lang"))
 
-    # reverse code ordering inside the struct max so ties pick the
-    # alphabetically first language
+    # F.greatest compares structs field-by-field (hits, then lang), so
+    # ties pick the lexicographically GREATEST language code — the
+    # DuckDB twin mirrors this with ORDER BY hits DESC, lang DESC; the
+    # list order below is irrelevant to the (commutative) max
     scores = [_score(lang, sw)
-              for lang, sw in sorted(LANG_STOPWORDS.items(), reverse=True)]
+              for lang, sw in sorted(LANG_STOPWORDS.items())]
     best = F.greatest(*scores) if len(scores) > 1 else scores[0]
     return d.select(id_col, best.getField("lang").alias("predicted_lang"),
                     best.getField("hits").alias("stopword_hits"))
@@ -184,13 +186,16 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     addresses with placeholder tokens and count each per document
     (training pipelines need both the cleaned text and the incidence
     stats for auditing).  Pure JVM regexp expressions, one scan; patterns
-    are applied in PII_PATTERNS order (email first, so phone/ip never
-    match inside an already-redacted span)."""
-    counts = [F.size(F.regexp_extract_all(
-        F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
-        for name, (pat, _tok) in PII_PATTERNS.items()]
+    are applied in PII_PATTERNS order, and each count is measured on the
+    text AFTER the previous redactions — so ``n_phone`` counts exactly
+    the ``<PHONE>`` tokens placed (a digit run inside an email would
+    otherwise be counted as a phone yet redacted as ``<EMAIL>``, making
+    the audit stats disagree with the cleaned corpus)."""
+    counts = []
     clean = F.col(text_col)
     for name, (pat, tok) in PII_PATTERNS.items():
+        counts.append(F.size(F.regexp_extract_all(
+            clean, F.lit(pat), 0)).alias(f"n_{name}"))
         clean = F.regexp_replace(clean, pat, tok)
     return df.select(id_col, *counts, clean.alias("text_clean"))
 

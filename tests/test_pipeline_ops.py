@@ -503,3 +503,56 @@ def test_minhash_dedup_hot_boilerplate_not_merged(spark):
     assert out.loc[0, "component"] != out.loc[1, "component"] \
         or out.loc[0, "component"] == 0 and out.loc[1, "component"] == 1
     assert bool(out.loc[1, "is_canonical"])
+
+
+def test_review_fixes_operator_guards(spark):
+    """Round-4 review regressions: sigma-less extract works when no
+    kernel needs sigma; empty token arrays yield ZERO windows (not a fake
+    all-padding block); banded extract_binned is rejected clearly; asof
+    rejects reserved internal names; lsh_candidates validates
+    divisibility; pii counts match the redactions actually made."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from light_curve_python_spark.operators.asof import asof_join
+    from light_curve_python_spark.operators.dedup import lsh_candidates
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    from light_curve_python_spark.operators.reductions import (
+        non_overlapping_windows)
+    from light_curve_python_spark.operators.text import pii_scrub
+
+    # sigma-less dataset + sigma-free kernels: no 'sigma' column at all
+    obs = spark.createDataFrame(
+        [("a", float(i), float(i % 7)) for i in range(30)],
+        "doc_id string, t double, m double")
+    out = FeatureExtractor(["amplitude", "mean"]).extract(obs).collect()
+    assert len(out) == 1 and out[0]["amplitude"] == 3.0
+
+    # empty array -> zero windows (reference range(0, 0, n) semantics)
+    seqs = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [])], "vec_id long, tokens array<int>")
+    w = non_overlapping_windows(seqs, seq_size=2, id_col="vec_id")
+    got = {r.vec_id: r for r in w.collect()}
+    assert sum(1 for r in w.collect() if r.vec_id == 2) == 0
+    assert sum(1 for r in w.collect() if r.vec_id == 1) == 2
+
+    with pytest.raises(ValueError, match="banded"):
+        FeatureExtractor(["amplitude"], bands=["g", "r"]) \
+            .extract_binned(obs, window=1.0)
+
+    probes = spark.createDataFrame([("a", 1.0, 9.9)],
+                                   "doc_id string, ts double, _t double")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(probes, obs.withColumnRenamed("m", "val"), "doc_id")
+
+    sigs = spark.createDataFrame([(1, 2, 3)], "doc_id long, mh0 long, mh1 long")
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidates(sigs, n_hashes=2, bands=3)
+
+    # staged pii counts: the digit run inside the email is redacted as
+    # <EMAIL>, so it must NOT be counted as a phone
+    docs = spark.createDataFrame(
+        [(1, "mail 1234567890@example.com")], "doc_id long, text string")
+    r = pii_scrub(docs).collect()[0]
+    assert r.n_email == 1 and r.n_phone == 0 and r.n_ipv4 == 0
+    assert "<EMAIL>" in r.text_clean and "<PHONE>" not in r.text_clean
