@@ -278,8 +278,9 @@ s2 AS (SELECT *, sum(m - mean) OVER (PARTITION BY user_id ORDER BY t
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus
        FROM s1)
 SELECT user_id,
-  ROUND(CAST(count(CASE WHEN abs(m - mean) > std THEN 1 END) AS DOUBLE)
-        / count(*), 6) AS beyond_1_std,
+  ROUND(CASE WHEN count(*) >= 2 THEN
+          CAST(count(CASE WHEN abs(m - mean) > std THEN 1 END) AS DOUBLE)
+          / count(*) END, 6) AS beyond_1_std,
   ROUND(sum(dm * dm) / ((count(*) - 1) * var_samp(m)), 6) AS eta,
   ROUND(sum((dm / dt) * (dm / dt)) * power(max(t) - min(t), 2)
         / (power(count(*) - 1, 3) * var_samp(m)), 6) AS eta_e,
@@ -1171,7 +1172,8 @@ colors AS (SELECT user_id,
 wm AS (SELECT user_id, band,
          sum(m * power(sigma, -2)) / sum(power(sigma, -2)) AS wmean
        FROM b GROUP BY user_id, band),
-spread AS (SELECT user_id, stddev_pop(wmean) AS color_spread
+spread AS (SELECT user_id, CASE WHEN count(*) = 2
+             THEN stddev_pop(wmean) END AS color_spread
            FROM wm GROUP BY user_id)
 SELECT colors.user_id,
   ROUND(color_of_maximum, 6) AS color_of_maximum,

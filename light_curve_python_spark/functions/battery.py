@@ -31,7 +31,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .kernels import Kernel, WindowContext, evaluate_kernel
+from .kernels import (Kernel, WindowContext, _hazen_sorted,
+                      _sorted_median, evaluate_kernel)
 from .special import chi2_sf, ndtr
 
 __all__ = ["PrefixBattery"]
@@ -134,10 +135,12 @@ class _Ctx:
         elif key == "runmax_absslope":
             v = (_runmax(np.abs(self.get("dm") / self.get("dt")))
                  if self.n > 1 else np.empty(0))
-        elif key == "runmax_msub":
-            v = _runmax(m - s)
-        elif key == "runmin_madd":
-            v = _runmin(m + s)
+        elif key.startswith("runmax_msub_"):
+            # parameterized by the kernel's nstd (a fixed m - s would
+            # silently ignore any non-default setting)
+            v = _runmax(m - float(key.rsplit("_", 1)[1]) * s)
+        elif key.startswith("runmin_madd_"):
+            v = _runmin(m + float(key.rsplit("_", 1)[1]) * s)
         elif key == "cumsum_m":
             v = np.cumsum(m)
         else:
@@ -246,10 +249,23 @@ class PrefixBattery:
         sorted_stats = self._sorted_pass(ctx) if self.needs_sorted else {}
         col = 0
         for kern in self.kernels:
+            if kern.needs_sigma and ctx.sigma is None:
+                # evaluate_kernel fills sigma-requiring kernels when no
+                # sigma is provided; raising TypeError from w = s**-2
+                # would violate that contract
+                if self.fill_value is None:
+                    raise ValueError(f"{kern.key}: needs sigma (or a "
+                                     "fill_value)")
+                out[:, col:col + kern.size] = float(self.fill_value)
+                col += kern.size
+                continue
             with np.errstate(all="ignore"):
                 block = self._eval_kernel(kern, ctx, sorted_stats)
+            # copy: some blocks are views into the shared sorted-pass
+            # arrays — the fill below would otherwise overwrite state a
+            # later kernel still reads
             block = np.atleast_2d(
-                np.asarray(block, dtype=np.float64))
+                np.array(block, dtype=np.float64, copy=True))
             if block.shape[0] != P:
                 block = block.T
             # fill semantics: min_obs + non-finite
@@ -313,15 +329,19 @@ class PrefixBattery:
             "medabsdev": np.full(P, np.nan),
             "otsu": np.full((P, 4), np.nan),
             "ad": np.full(P, np.nan),
-            "mbrp_count": np.full(P, np.nan),
+
             "stetson_num": np.full(P, np.nan),
             "roms_sum": np.full(P, np.nan),
             "cusum_ptp": np.full(P, np.nan),
         }
         res["quantiles"] = {q: np.full(P, np.nan) for q in qs}
         res["beyond_count"] = {v: np.full(P, np.nan) for v in nstds}
-        mbrp_q = next((k.params.get("quantile", 0.1) for k in self.kernels
-                       if k.key == "median_buffer_range_percentage"), None)
+        # keyed per quantile like beyond_count: two mbrp kernels with
+        # different quantiles must not share one count array
+        mbrp_qs = sorted({k.params.get("quantile", 0.1)
+                          for k in self.kernels
+                          if k.key == "median_buffer_range_percentage"})
+        res["mbrp_count"] = {q: np.full(P, np.nan) for q in mbrp_qs}
         need_median = bool(need_keys & {
             "median", "median_absolute_deviation", "percent_amplitude",
             "percent_difference_magnitude_percentile",
@@ -404,28 +424,33 @@ class PrefixBattery:
             if k == 0:
                 continue
             win_s = buf_a[:k]  # sorted prefix of length k
+            if np.isnan(win_s[k - 1]):
+                # non-finite magnitudes present (NaN sorts last):
+                # positional order statistics would silently return a
+                # finite value computed over garbage — leave every
+                # sorted/loop-family output NaN (-> fill).  Ingest
+                # validates finiteness; this only arises on unvalidated
+                # input.
+                continue
             if need_median:
-                mid = k // 2
-                med = (win_s[mid] if k % 2
-                       else 0.5 * (win_s[mid - 1] + win_s[mid]))
-                res["median"][pi] = med
-            for q in qs:
-                pos = min(max(q * k + 0.5 - 1.0, 0.0), k - 1.0)
-                lo = int(pos)
-                hi = min(lo + 1, k - 1)
-                g = pos - lo
-                res["quantiles"][q][pi] = (1 - g) * win_s[lo] + g * win_s[hi]
+                res["median"][pi] = _sorted_median(win_s)
+            if qs:
+                # the kernels' own Hazen helper — one plotting-position
+                # implementation, not a re-derived copy
+                qvals = _hazen_sorted(win_s, qs)
+                for qi, q in enumerate(qs):
+                    res["quantiles"][q][pi] = qvals[qi]
             if need_medabsdev and k >= 1:
                 dev = np.abs(win_s - res["median"][pi])
                 res["medabsdev"][pi] = np.partition(dev, k // 2)[k // 2] \
                     if k % 2 else np.median(dev)
-            if mbrp_q is not None:
-                width = mbrp_q * (win_s[-1] - win_s[0]) / 2
+            for mq in mbrp_qs:
+                width = mq * (win_s[-1] - win_s[0]) / 2
                 med = res["median"][pi]
                 lo_i = np.searchsorted(win_s, med - width, side="right")
                 hi_i = np.searchsorted(win_s, med + width, side="left")
                 # strict |med - m| < width
-                res["mbrp_count"][pi] = max(hi_i - lo_i, 0)
+                res["mbrp_count"][mq][pi] = max(hi_i - lo_i, 0)
             for v in nstds:
                 if k < 2:
                     continue
@@ -666,8 +691,9 @@ class PrefixBattery:
                     ctx.ends >= 2,
                     chi2_sf(np.maximum(chi2, 0.0), dof), np.nan)
         if key == "peak_to_peak_var":
-            a = ctx.last("runmax_msub")
-            b = ctx.last("runmin_madd")
+            nstd = float(kern.params.get("nstd", 1.0))
+            a = ctx.last(f"runmax_msub_{nstd!r}")
+            b = ctx.last(f"runmin_madd_{nstd!r}")
             neg = ctx.last("runmin_m") < 0
             out = (a - b) / (a + b)
             out[neg] = np.nan  # reference raises on negative flux
@@ -715,7 +741,7 @@ class PrefixBattery:
             return (ss["quantiles"][1 - qn] - ss["quantiles"][qn]) \
                 / (ss["quantiles"][1 - qd] - ss["quantiles"][qd])
         if key == "median_buffer_range_percentage":
-            return ss["mbrp_count"] / k
+            return ss["mbrp_count"][kern.params.get("quantile", 0.1)] / k
         if key == "otsu_split":
             return ss["otsu"]
         if key == "anderson_darling_normal":

@@ -43,7 +43,12 @@ def color_spread_sql(obs: DataFrame, bands: Sequence[str],
                      entity: str = "doc_id", m: str = "m",
                      sigma: str = "sigma", band: str = "band") -> DataFrame:
     """Population std of per-band weighted means (two-level aggregation,
-    both levels keyed by entity => one shuffle + a cheap regroup)."""
+    both levels keyed by entity => one shuffle + a cheap regroup).
+
+    Entities missing ANY of the requested bands emit NULL — the numpy
+    twin (``color_spread``) raises/fills on an empty band, so a silent
+    stddev over the present bands only (0.0 for a single band) would
+    break the kernel≡SQL parity this module pairs."""
     w = F.pow(F.col(sigma), F.lit(-2.0))
     per_band = (obs.filter(F.col(band).isin(*list(bands)))
                 .withColumn("_w", w)
@@ -51,7 +56,8 @@ def color_spread_sql(obs: DataFrame, bands: Sequence[str],
                 .agg((F.sum(F.col(m) * F.col("_w")) / F.sum("_w"))
                      .alias("_wmean")))
     return per_band.groupBy(entity).agg(
-        F.stddev_pop("_wmean").alias("color_spread"))
+        F.when(F.count("*") == len(bands),
+               F.stddev_pop("_wmean")).alias("color_spread"))
 
 
 # --- numpy forms (used by tests and custom per-group pipelines) -----------

@@ -97,11 +97,18 @@ def erfc(x):
     scalar = x.ndim == 0
     x = np.atleast_1d(x)
     ax = np.abs(x)
-    out = np.empty_like(x)
+    # NaN-initialized (NOT np.empty): every mask below excludes NaN, so
+    # an uninitialized buffer would return arbitrary memory for NaN
+    # inputs; infinities get their exact limits (the large branch's
+    # inf*inf - inf arithmetic would produce NaN)
+    out = np.full_like(x, np.nan)
+    out[x == np.inf] = 0.0
+    out[x == -np.inf] = 2.0
 
-    small = ax <= 0.46875
-    mid = (ax > 0.46875) & (ax <= 4.0)
-    large = ax > 4.0
+    finite = np.isfinite(x)
+    small = finite & (ax <= 0.46875)
+    mid = finite & (ax > 0.46875) & (ax <= 4.0)
+    large = finite & (ax > 4.0)
 
     if small.any():
         out[small] = 1.0 - _erf_small(x[small])
@@ -121,11 +128,15 @@ def erf(x):
     scalar = x.ndim == 0
     x = np.atleast_1d(x)
     ax = np.abs(x)
-    out = np.empty_like(x)
-    small = ax <= 0.46875
+    # NaN-initialized for the same reason as erfc; erf(+/-inf) = +/-1
+    out = np.full_like(x, np.nan)
+    finite = np.isfinite(x)
+    out[x == np.inf] = 1.0
+    out[x == -np.inf] = -1.0
+    small = finite & (ax <= 0.46875)
     if small.any():
         out[small] = _erf_small(x[small])
-    rest = ~small
+    rest = finite & ~small
     if rest.any():
         out[rest] = 1.0 - erfc(ax[rest])
         out[rest] = np.where(x[rest] < 0, -out[rest], out[rest])

@@ -138,8 +138,12 @@ def dispersion_stats(obs: DataFrame, entity: str = "user_id", t: str = "t",
                         wo.rowsBetween(Window.unboundedPreceding,
                                        Window.currentRow))))
     return staged.groupBy(entity).agg(
-        (F.count(F.when(F.abs(F.col(m) - F.col("_mean"))
-                        > F.col("_std"), 1)) / F.count("*"))
+        # NULL (not 0.0) for single-observation entities: the null _std
+        # makes the WHEN condition null -> count 0, which divided by n=1
+        # would fabricate a finite 0.0 where the kernel path fills
+        F.when(F.count("*") >= 2,
+               F.count(F.when(F.abs(F.col(m) - F.col("_mean"))
+                              > F.col("_std"), 1)) / F.count("*"))
         .alias("beyond_1_std"),
         (F.sum(F.col("_dm") ** 2)
          / ((F.count("*") - 1) * F.variance(m))).alias("eta"),

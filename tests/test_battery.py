@@ -149,3 +149,67 @@ def test_battery_correct_at_large_scale_spotcheck():
     s = rng.uniform(0.01, 0.2, n)
     ends = np.array([2, 17, 4096, 19999, 20000])
     _check([make_kernel(k) for k in BATTERY], t, m, s, ends)
+
+
+def test_review_fixes_battery_and_special():
+    """Round-4 functions review regressions: NaN/inf through erf/erfc/
+    ndtr; per-quantile mbrp; parameterized ptp_var nstd; sigma=None fill;
+    NaN windows fill instead of positional garbage; fill never corrupts
+    shared sorted-pass state."""
+    import numpy as np
+
+    from light_curve_python_spark.functions.battery import PrefixBattery
+    from light_curve_python_spark.functions.kernels import (evaluate_kernel,
+                                                            make_kernel)
+    from light_curve_python_spark.functions.special import erf, erfc, ndtr
+    np.seterr(all="ignore")
+
+    # special functions: NaN propagates, infinities hit exact limits
+    assert np.isnan(erf(np.nan)) and np.isnan(erfc(np.nan)) \
+        and np.isnan(ndtr(np.nan))
+    assert erf(np.inf) == 1.0 and erf(-np.inf) == -1.0
+    assert erfc(np.inf) == 0.0 and erfc(-np.inf) == 2.0
+    assert ndtr(np.inf) == 1.0 and ndtr(-np.inf) == 0.0
+
+    rng = np.random.default_rng(3)
+    n = 30
+    t = np.sort(rng.uniform(0, 100, n))
+    m = rng.uniform(1.0, 5.0, n)
+    s = rng.uniform(0.05, 0.2, n)
+    ends = np.array([n])
+
+    # two mbrp kernels with different quantiles stay independent
+    ks = [make_kernel("median_buffer_range_percentage", quantile=0.1),
+          make_kernel("median_buffer_range_percentage", quantile=0.5)]
+    got = PrefixBattery(ks).evaluate_prefixes(t, m, s, ends)[0]
+    want = [evaluate_kernel(k, t, m, s) for k in ks]
+    np.testing.assert_allclose(got, np.concatenate(want), rtol=1e-9)
+    assert got[0] != got[1]
+
+    # ptp_var honors nstd
+    k2 = make_kernel("peak_to_peak_var", nstd=2.0)
+    got2 = PrefixBattery([k2]).evaluate_prefixes(t, m, s, ends)[0, 0]
+    assert got2 == pytest.approx(float(evaluate_kernel(k2, t, m, s)[0]),
+                                 rel=1e-9)
+
+    # sigma=None + sigma-requiring kernel: fill, not TypeError
+    kw = make_kernel("weighted_mean")
+    got3 = PrefixBattery([kw], fill_value=-9.0) \
+        .evaluate_prefixes(t, m, None, ends)
+    assert got3[0, 0] == -9.0
+
+    # NaN magnitude: sorted-family outputs fill (match evaluate_kernel)
+    m_nan = m.copy()
+    m_nan[5] = np.nan
+    kmed = make_kernel("median")
+    b = PrefixBattery([kmed], fill_value=-1.0)
+    assert b.evaluate_prefixes(t, m_nan, s, ends)[0, 0] == -1.0
+
+    # fill for an empty window must not corrupt ss state a later
+    # kernel reads: probe 0 empty, probe 1 full
+    kit = [make_kernel("median"), make_kernel("percent_amplitude")]
+    bb = PrefixBattery(kit, fill_value=-7.0)
+    two = bb.evaluate_prefixes(t, m, s, np.array([0, n]))
+    ref = np.concatenate([evaluate_kernel(k, t, m, s) for k in kit])
+    assert (two[0] == -7.0).all()
+    np.testing.assert_allclose(two[1], ref, rtol=1e-9)
