@@ -63,6 +63,17 @@ def _entity_rng(seed: int, i: int) -> np.random.Generator:
     return np.random.default_rng((seed, i))
 
 
+def _entity_tokens(seed: int, i: int):
+    """THE token draw for entity i — one definition shared by
+    generate_sequences and generate_probes so the byte-identical-tokens
+    contract between the two tables cannot drift (same rng construction,
+    same draw order)."""
+    rng = _entity_rng(seed, i)
+    n_tok = int(np.clip(rng.lognormal(4.0, 0.8), 4, 2048))
+    tokens = rng.integers(0, _VOCAB, n_tok, dtype=np.int32)
+    return rng, n_tok, tokens
+
+
 def generate_sequences(spark: SparkSession, n_entities: int,
                        seed: int = 42, partitions: Optional[int] = None) -> DataFrame:
     """The (doc_id, tokens, n_tok, source) entity table."""
@@ -73,9 +84,7 @@ def generate_sequences(spark: SparkSession, n_entities: int,
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                rng = _entity_rng(seed, int(i))
-                n_tok = int(np.clip(rng.lognormal(4.0, 0.8), 4, 2048))
-                tokens = rng.integers(0, _VOCAB, n_tok, dtype=np.int32)
+                rng, n_tok, tokens = _entity_tokens(seed, int(i))
                 rows.append((_doc_id(int(i)), tokens, n_tok,
                              _SOURCES[int(i) % len(_SOURCES)]))
             yield pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok",
@@ -143,9 +152,7 @@ def generate_probes(spark: SparkSession, n_entities: int,
             frames = []
             for i in pdf["id"]:
                 i = int(i)
-                rng = _entity_rng(seed, i)
-                n_tok = int(np.clip(rng.lognormal(4.0, 0.8), 4, 2048))
-                tokens = rng.integers(0, _VOCAB, n_tok, dtype=np.int32)
+                _rng, n_tok, tokens = _entity_tokens(seed, i)
                 prng = np.random.default_rng((seed, i, 7))
                 ts = np.sort(prng.uniform(0, 1100, probes_per_entity))
                 frames.append(pd.DataFrame({

@@ -127,12 +127,15 @@ class CheckpointedRun:
                         f"manifest was written with n_buckets="
                         f"{e['n_buckets']}, refusing to resume with "
                         f"{self.n_buckets} (bucket ids would not match)")
-                if e.get("spec") is not None and self.spec_json is not None \
-                        and e["spec"] != self.spec_json:
+                if e.get("spec") != self.spec_json:
+                    # None vs non-None is ALSO a mismatch: skipping the
+                    # check when either side is absent would let buckets
+                    # computed under different feature specs interleave
                     raise ValueError(
                         "manifest was written with a different feature "
-                        "spec; resuming would mix output schemas — use a "
-                        "fresh output path")
+                        "spec (or one side has none recorded); resuming "
+                        "would mix output schemas — use a fresh output "
+                        "path")
                 return
 
     def bucket_col(self):
@@ -166,4 +169,10 @@ class CheckpointedRun:
         paths = [self._spark_prefix
                  + os.path.join(self.output_path, f"bucket={b}")
                  for b in self.completed_buckets()]
+        if not paths:
+            # spark.read.parquet() with zero paths raises an unrelated
+            # schema-inference error — name the real cause
+            raise ValueError(
+                f"no committed buckets under {self.output_path!r} "
+                "(fresh run, or crashed before the first commit)")
         return spark.read.parquet(*paths)

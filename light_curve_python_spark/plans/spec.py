@@ -40,6 +40,7 @@ class FeatureSpec:
             ensure_lazy_factories(f["name"])
             if f["name"] not in KERNEL_FACTORIES:
                 raise ValueError(f"unknown feature: {f['name']}")
+            f.setdefault("params", {})   # hand-authored entries may omit it
             # resolve the fast/direct choice at construction time so the
             # serialized spec always pins the evaluator explicitly: a fresh
             # spec round-trips to itself (fast=True, the factory default)
@@ -80,6 +81,7 @@ class FeatureSpec:
         if d.get("version") != 1:
             raise ValueError(f"unsupported spec version: {d.get('version')}")
         for f in d["features"]:
+            f.setdefault("params", {})   # hand-authored manifests may omit it
             if f["name"] == "periodogram" and "fast" not in f["params"]:
                 # specs serialized before the factory default flipped to
                 # fast=True were computed with the direct evaluator; pin it

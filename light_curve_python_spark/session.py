@@ -9,6 +9,7 @@ ride along unchanged; only master/partitions scale up.
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 from pyspark.sql import SparkSession
@@ -33,10 +34,11 @@ def _defaults_conf_has_master() -> bool:
     try:
         with open(path) as f:
             for line in f:
-                tokens = line.strip().split(None, 1)
-                # exact key match: spark.master.rest.enabled etc. do NOT
-                # pin a master
-                if tokens and tokens[0] == "spark.master":
+                # java.util.Properties accepts whitespace, '=' and ':'
+                # as key separators — recognize all three, with exact
+                # key match (spark.master.rest.enabled must NOT pin)
+                key = re.split(r"[\s=:]", line.strip(), 1)[0]
+                if key == "spark.master":
                     return True
     except OSError:
         return False
@@ -67,13 +69,16 @@ def get_spark(master: Optional[str] = None,
         # only default to local[...] when the env pins a local run
         # (tests/bench set SPARK_GRAFT_CPUS) so the CLI entrypoint never
         # silently overrides the cluster master
+        under_cluster = ("PYSPARK_GATEWAY_PORT" in os.environ
+                         or "SPARK_MASTER" in os.environ
+                         or "MASTER" in os.environ
+                         or _defaults_conf_has_master())
         cpus = os.environ.get("SPARK_GRAFT_CPUS") or None
-        if cpus:
+        if cpus and not under_cluster:
+            # a leftover test/bench env var must NOT override a real
+            # cluster master under spark-submit
             master = f"local[{cpus}]"
-        elif "PYSPARK_GATEWAY_PORT" not in os.environ \
-                and "SPARK_MASTER" not in os.environ \
-                and "MASTER" not in os.environ \
-                and not _defaults_conf_has_master():
+        elif not under_cluster:
             # plain `python script.py` (no spark-submit gateway, no master
             # env, no spark-defaults.conf master): getOrCreate would fail
             # with "master URL must be set" — keep the interactive default

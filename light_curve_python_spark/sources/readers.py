@@ -23,21 +23,37 @@ CSV_MAG_SCHEMA = T.StructType([
     T.StructField("magerr", T.DoubleType(), False),
 ])
 
+# the entity_from_filename=False form: id carried as a column
+CSV_MAG_SCHEMA_ID = T.StructType(
+    [T.StructField("doc_id", T.StringType(), False)]
+    + CSV_MAG_SCHEMA.fields)
+
 
 def validate_observations(obs: DataFrame, entity_col: str = "doc_id",
                           t_col: str = "t", m_col: str = "m",
                           sigma_col: Optional[str] = "sigma",
                           drop_duplicate_times: bool = True) -> DataFrame:
-    """Finite t/m, non-NaN sigma, per-entity unique t (first row kept per
-    duplicate time, matching the reference test loader's dedup —
-    tests/test_w_bench.py:61-63)."""
+    """Finite t/m, non-NaN sigma, per-entity unique t.
+
+    DOCUMENTED DIVERGENCE from the reference test loader
+    (tests/test_w_bench.py:61-63, np.unique first-occurrence): "first row
+    in file order" is not a distributable notion (row order is not
+    preserved across partitioned reads/shuffles), so duplicate times keep
+    the row with the MINIMUM (m, sigma...) — a deterministic total order,
+    stable across partitioning, task retries, and repeated runs, which
+    is the property the engine's bit-exactness tests rely on."""
     out = obs.filter(~F.isnan(t_col) & ~F.isnan(m_col)
                      & (F.abs(F.col(t_col)) != float("inf"))
                      & (F.abs(F.col(m_col)) != float("inf")))
     if sigma_col is not None and sigma_col in obs.columns:
         out = out.filter(~F.isnan(sigma_col))
     if drop_duplicate_times:
-        w = Window.partitionBy(entity_col, t_col).orderBy(F.col(m_col).asc())
+        # total ordering over every non-key column: row_number over a
+        # partial order would pick an arbitrary row among full ties
+        tie_cols = [F.col(m_col).asc()] + [
+            F.col(c).asc() for c in obs.columns
+            if c not in (entity_col, t_col, m_col)]
+        w = Window.partitionBy(entity_col, t_col).orderBy(*tie_cols)
         out = (out.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1).drop("_rn"))
     return out
@@ -51,12 +67,24 @@ def read_observations_parquet(spark: SparkSession, path: str,
 def read_curves_csv(spark: SparkSession, path: str,
                     entity_from_filename: bool = True) -> DataFrame:
     """Per-object CSVs '(time, mag, magerr)' — the reference's test corpus
-    format (tests/test_w_bench.py:51-81); entity id from the file name."""
-    df = spark.read.csv(path, header=True, schema=CSV_MAG_SCHEMA)
+    format (tests/test_w_bench.py:51-81); entity id from the file name
+    (case-insensitive .csv/.csv.gz), or from a ``doc_id`` column when
+    ``entity_from_filename=False``."""
     if entity_from_filename:
+        df = spark.read.csv(path, header=True, schema=CSV_MAG_SCHEMA)
         df = df.withColumn(
             "doc_id",
-            F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv$", 1))
+            F.regexp_extract(F.input_file_name(),
+                             r"([^/]+?)\.[cC][sS][vV](?:\.[gG][zZ])?$", 1))
+        # a non-matching file name extracts '' — every such file's rows
+        # would silently merge into one doc_id='' entity
+        if df.filter(F.col("doc_id") == "").limit(1).count():
+            raise ValueError(
+                "file name does not end in .csv[.gz] — cannot derive "
+                "doc_id; pass entity_from_filename=False with a doc_id "
+                "column instead")
+    else:
+        df = spark.read.csv(path, header=True, schema=CSV_MAG_SCHEMA_ID)
     return validate_observations(
         df.select("doc_id", F.col("time").alias("t"),
                   F.col("mag").alias("m"), F.col("magerr").alias("sigma")))

@@ -75,7 +75,14 @@ def main(argv=None) -> int:
     probes = spark.read.parquet(args.probes)
 
     if not args.resume:
-        shutil.rmtree(args.output, ignore_errors=True)
+        # CheckpointedRun accepts 'file:///abs' — rmtree on the raw URI
+        # would silently no-op and the stale manifest would mark every
+        # bucket committed, turning a fresh run into a no-op
+        out_fs = args.output
+        if out_fs.startswith("file://"):
+            from urllib.parse import urlparse
+            out_fs = urlparse(out_fs).path
+        shutil.rmtree(out_fs, ignore_errors=True)
     run = CheckpointedRun(args.output, args.entity_col,
                           n_buckets=args.n_buckets,
                           spec_json=spec.to_json())
