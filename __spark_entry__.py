@@ -44,7 +44,10 @@ _SHIPPED: set = set()
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    # keyed by applicationId, NOT id(sc): CPython recycles object ids
+    # after a stopped context is garbage-collected, which would silently
+    # skip addPyFile for a brand-new context
+    if sc.applicationId in _SHIPPED:
         return
     import light_curve_python_spark as pkg
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
@@ -57,7 +60,7 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
     sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(sc.applicationId)
 
 
 def _shipped(fn):
@@ -67,6 +70,8 @@ def _shipped(fn):
         return fn(spark, sf_dir)
     return wrapper
 
+
+from light_curve_python_spark.operators.dmdt import sql_double_lit
 
 T0 = 1704067200.0          # epoch of 2024-01-01 00:00:00 UTC
 DAY = 86400.0
@@ -651,9 +656,9 @@ SQL_ROLLING_1H = f"""
 WITH ev AS ({EV_SQL})
 SELECT event_id,
   count(*) OVER (PARTITION BY user_id ORDER BY t
-    RANGE BETWEEN {H_1H!r} PRECEDING AND CURRENT ROW) AS cnt_1h,
+    RANGE BETWEEN {sql_double_lit(H_1H)} PRECEDING AND CURRENT ROW) AS cnt_1h,
   ROUND(sum(m) OVER (PARTITION BY user_id ORDER BY t
-    RANGE BETWEEN {H_1H!r} PRECEDING AND CURRENT ROW), 6) AS sum_1h
+    RANGE BETWEEN {sql_double_lit(H_1H)} PRECEDING AND CURRENT ROW), 6) AS sum_1h
 FROM ev
 """
 
@@ -676,7 +681,7 @@ WITH ev AS ({EV_SQL}),
 f AS (SELECT user_id, t, m,
         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-                  > {GAP_30M!r}
+                  > {sql_double_lit(GAP_30M)}
              THEN 1 ELSE 0 END AS nf
       FROM ev),
 s AS (SELECT user_id, t, m,
@@ -726,13 +731,14 @@ def q_binned_features(spark, sf_dir):
     FeatureExtractor.extract_binned end to end.  Degenerate binned series
     (fewer than 3 bins) excluded in both engines (linear_fit needs n>=3)."""
     ev = _ev(spark, sf_dir).select("user_id", "t", "m", "sigma")
-    counts = (bin_series(ev, entity_col="user_id", window=1.0, offset=0.0)
-              .groupBy("user_id").agg(F.count("*").alias("_nb"))
+    # bin ONCE: the count filter and the feature pass share the same
+    # binned relation (mirroring the twin's single CTE + HAVING)
+    binned = bin_series(ev, entity_col="user_id", window=1.0, offset=0.0)
+    counts = (binned.groupBy("user_id").agg(F.count("*").alias("_nb"))
               .filter(F.col("_nb") >= 3).select("user_id"))
     ex = FeatureExtractor(["mean", "standard_deviation", "weighted_mean",
                            "linear_fit"])
-    out = ex.extract_binned(ev.join(counts, "user_id"), window=1.0,
-                            offset=0.0, entity_col="user_id")
+    out = ex.extract(binned.join(counts, "user_id"), entity_col="user_id")
     return _round6(out)
 
 
@@ -988,6 +994,14 @@ SELECT doc_a AS doc_id, doc_b AS nearest_doc_id, ROUND(jaccard, 6) AS jaccard
 FROM pick WHERE rk = 1
 """
 
+NOTE_PIT_PROBES = """NB: the PIT twins (SQL_PIT_FEATURES/
+SQL_PIT_HORIZON) GROUP BY (user_id, pts[, props]), which would collapse
+two probe rows sharing an identical (user_id, ts) pair that the Spark
+extractor keeps separate; the driver testdata contains no duplicate
+(user_id, ts) pairs (verified), so this is a documented data invariant —
+the same one that pins asof/lag_lead/sessionize tie ordering."""
+
+
 NOTE_SHINGLE = """NB: the words CTE's 'pos' counts raw split positions
 (including empties) in both engines, so consecutive-position shingles match
 the Spark filtered-array shingles only because the corpus has single spaces
@@ -1103,7 +1117,10 @@ def q_doc_fingerprint(spark, sf_dir):
     wd = _word_dict(words.select("doc_id", "w").distinct())
     j = words.join(F.broadcast(wd), "w")
     return (j.groupBy("doc_id")
-            .agg((F.sum(F.col("wid") * F.col("pos")) % F.lit(PRIME))
+            # cast BEFORE the multiply: wid*pos in int32 overflows past
+            # ~4.3M-word vocabularies (same class as the simhash fix)
+            .agg((F.sum(F.col("wid").cast("long") * F.col("pos"))
+                  % F.lit(PRIME))
                  .cast("long").alias("fingerprint")))
 
 
@@ -1388,8 +1405,9 @@ pairs AS (SELECT a.user_id, b.t - a.t AS dt
           FROM ev a JOIN ev b
             ON a.user_id = b.user_id AND b.t > a.t),
 binned AS (SELECT user_id,
-    floor((log10(dt) - ({DMDT['lgdt_min']}))
-          / {(DMDT['lgdt_max'] - DMDT['lgdt_min']) / DMDT['n_dt']})
+    floor((log10(dt) - ({sql_double_lit(DMDT['lgdt_min'])}))
+          / {sql_double_lit((DMDT['lgdt_max'] - DMDT['lgdt_min'])
+                            / DMDT['n_dt'])})
       AS dt_bin
   FROM pairs)
 SELECT user_id, CAST(dt_bin AS BIGINT) AS dt_bin, count(*) AS pair_count
@@ -1675,8 +1693,9 @@ def q_dmdt_gausses(spark, sf_dir):
 
 
 def _sql_dmdt_gausses() -> str:
-    lg_step = (DMDT["lgdt_max"] - DMDT["lgdt_min"]) / DMDT["n_dt"]
-    edges = ", ".join(f"({i}, {e!r})"
+    lg_step = sql_double_lit(
+        (DMDT["lgdt_max"] - DMDT["lgdt_min"]) / DMDT["n_dt"])
+    edges = ", ".join(f"({i}, {sql_double_lit(e)})"
                       for i, e in enumerate(GAUSS_DM_EDGES))
     n_dm = len(GAUSS_DM_EDGES) - 1
     return f"""
@@ -1686,7 +1705,8 @@ pairs AS (SELECT a.user_id, a.event_id AS ea, b.event_id AS eb,
             sqrt(a.sigma*a.sigma + b.sigma*b.sigma) AS s
           FROM ev a JOIN ev b
             ON a.user_id = b.user_id AND b.t > a.t),
-rowed AS (SELECT *, CAST(floor((log10(dt) - ({DMDT['lgdt_min']}))
+rowed AS (SELECT *, CAST(floor(
+            (log10(dt) - ({sql_double_lit(DMDT['lgdt_min'])}))
                               / {lg_step}) AS BIGINT) AS dt_bin
           FROM pairs),
 inrow AS (SELECT * FROM rowed
@@ -2271,10 +2291,11 @@ FROM documents
 COSINE_DUP_TAU = 0.45
 
 
-def q_cosine_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs at a fixed threshold — exact
-    all-pairs form as the small-scale oracle (the LSH/IVF bucketed variants
-    in operators/similarity.py are the 100 TB path, pytest-verified)."""
+def _cosine_dup_base(spark, sf_dir):
+    """(embeddings, threshold-filtered cosine pairs) — ONE definition of
+    the near-dup pair pipeline shared by q_cosine_dup_pairs and
+    q_dedup_groups (whose docstring pins it to exactly these pairs); a
+    second copy could silently drift from its own components row."""
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id",
                    F.col("embedding").cast("array<double>").alias("e")))
@@ -2284,11 +2305,19 @@ def q_cosine_dup_pairs(spark, sf_dir):
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", dot / (norm(F.col("ea"))
-                                         * norm(F.col("eb"))))
-            .filter(F.col("cosine") >= COSINE_DUP_TAU)
-            .select("id_a", "id_b", _r("cosine", 6).alias("cosine")))
+    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", dot / (norm(F.col("ea"))
+                                          * norm(F.col("eb"))))
+             .filter(F.col("cosine") >= COSINE_DUP_TAU))
+    return emb, pairs
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs at a fixed threshold — exact
+    all-pairs form as the small-scale oracle (the LSH/IVF bucketed variants
+    in operators/similarity.py are the 100 TB path, pytest-verified)."""
+    _, pairs = _cosine_dup_base(spark, sf_dir)
+    return pairs.select("id_a", "id_b", _r("cosine", 6).alias("cosine"))
 
 
 SQL_COSINE_DUP_PAIRS = f"""
@@ -2557,21 +2586,8 @@ def q_dedup_groups(spark, sf_dir):
     min-label propagation with pointer jumping).  The DuckDB twin is a
     recursive-CTE transitive closure over the same pairs."""
     from light_curve_python_spark.operators.dedup import dedup_groups
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("e")))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
-    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine", dot / (norm(F.col("ea"))
-                                          * norm(F.col("eb"))))
-             .filter(F.col("cosine") >= COSINE_DUP_TAU)
-             .select("id_a", "id_b"))
-    return dedup_groups(pairs, emb, "vec_id")
+    emb, pairs = _cosine_dup_base(spark, sf_dir)
+    return dedup_groups(pairs.select("id_a", "id_b"), emb, "vec_id")
 
 
 SQL_DEDUP_GROUPS = f"""

@@ -26,7 +26,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# empty-string env means unset (same convention as session.py)
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS") or "32")
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
@@ -159,15 +160,22 @@ def _ensure_synth(spark):
     )
     obs_path = f"{CACHE}/sf{SF}/observations.parquet"
     probes_path = f"{CACHE}/sf{SF}/probes.parquet"
-    if not os.path.exists(obs_path):
+
+    def _complete(p):
+        # a run killed mid-write leaves a dir without _SUCCESS; treating
+        # it as cached would time garbage (or crash) on every later run
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    if not _complete(obs_path):
         generate_observations(
             spark, N_ENTITIES, seed=42, n_obs_choices=(100, 1000),
             n_hot=max(2, N_ENTITIES // 500), hot_factor=20,
         ).write.mode("overwrite").parquet(obs_path)
-    if not os.path.exists(probes_path):
+    if not _complete(probes_path):
         generate_probes(spark, N_ENTITIES, PROBES_PER_ENTITY, seed=42) \
             .write.mode("overwrite").parquet(probes_path)
-    if not os.path.exists(f"{CACHE}/sf{SF}/wh{N_BUCKETS}/obs_b"):
+    wh = f"{CACHE}/sf{SF}/wh{N_BUCKETS}"
+    if not (_complete(f"{wh}/obs_b") and _complete(f"{wh}/probes_b")):
         spark.sql(f"CREATE DATABASE IF NOT EXISTS bench LOCATION "
                   f"'{CACHE}/sf{SF}/wh{N_BUCKETS}'")
         spark.read.parquet(obs_path).write.mode("overwrite") \
@@ -401,6 +409,15 @@ def main():
     scaling["efficiency_8_to_32"] = round(
         (scaling["local32"]["rows_per_sec"]
          / scaling["local8"]["rows_per_sec"]) / 4.0, 3)
+    # the DECOMPOSITION the ratio needs to be read with: the trivial
+    # cogroup (zero kernel work) isolates the Spark task/scan machinery,
+    # which on this single-JVM host shares ONE driver/DAGScheduler across
+    # all cores — its own 8->32 efficiency bounds what any same-plan job
+    # can show here; a real N->4N executor scale-up multiplies executors
+    # (and their schedulers/disks), which local mode cannot emulate
+    scaling["floor_efficiency_8_to_32"] = round(
+        (scaling["local8"]["trivial_cogroup_sec"]
+         / scaling["local32"]["trivial_cogroup_sec"]) / 4.0, 3)
     # host-ceiling control: what 8 vs 32 INDEPENDENT numpy processes (no
     # Spark) deliver on this box; the Spark job cannot exceed this, so the
     # honest scaling score is efficiency relative to the host ceiling
