@@ -8,7 +8,9 @@ Arrow-batched grouped pandas UDFs:
   whole series (the reference's ``many``: one curve in, one vector out).
 - :meth:`FeatureExtractor.extract_point_in_time` — one feature vector per
   entity×timestamp probe, seeing ONLY observations with ``t <= ts`` (and
-  ``t > ts - horizon`` when a range horizon is given): the as-of/point-in-time
+  ``t >= ts - horizon`` when a range horizon is given — both bounds
+  INCLUSIVE, matching SQL ``RANGE BETWEEN h PRECEDING AND CURRENT
+  ROW``): the as-of/point-in-time
   semantics the north rule adds on top of the reference, with zero temporal
   leakage by construction (slices are taken with ``np.searchsorted`` on the
   sorted time axis, never a full-table filter that could drift).
@@ -75,6 +77,10 @@ class FeatureExtractor:
         self.kernels = _resolve(features)
         self.fill_value = fill_value
         self.bands = list(bands) if bands else None
+        if transforms is True:
+            # the reference spells this transform=True — accept it as the
+            # stock-transform request rather than failing in dict(True)
+            transforms = "default"
         if transforms == "default":
             # the reference's transform=True: per-class stock transforms
             from ..functions.transforms import DEFAULT_TRANSFORMS
@@ -108,6 +114,15 @@ class FeatureExtractor:
 
     # ---- kernel-side evaluation ------------------------------------------
 
+    def _check_name_collisions(self, existing, what):
+        clash = set(self.names) & set(existing)
+        if clash:
+            raise ValueError(
+                f"feature output names collide with {what}: "
+                f"{sorted(clash)} — rename the columns or the features "
+                "(a duplicate-name schema fails deep inside the "
+                "executors otherwise)")
+
     def _eval_window(self, t, m, s) -> np.ndarray:
         if self.bands is None:
             return evaluate_many(self.kernels, t, m, s, self.fill_value)
@@ -125,16 +140,33 @@ class FeatureExtractor:
     def _prepare_arrays(self, pdf: pd.DataFrame, t_col, m_col, sigma_col,
                         band_col):
         t = pdf[t_col].to_numpy(dtype=np.float64)
-        order = np.argsort(t, kind="mergesort")  # engine sort guarantee
+        m = pdf[m_col].to_numpy(dtype=np.float64)
+        # lexsort (t, then m): identical to the plain t-sort whenever t
+        # is unique (the validated-ingest guarantee), and a DETERMINISTIC
+        # tie order otherwise — a stable sort alone would preserve
+        # arbitrary shuffle arrival order among equal-t rows, making
+        # consecutive-difference kernels differ between runs/retries
+        order = np.lexsort((m, t))
         t = t[order]
-        m = pdf[m_col].to_numpy(dtype=np.float64)[order]
+        m = m[order]
         s = (pdf[sigma_col].to_numpy(dtype=np.float64)[order]
              if sigma_col else None)
         codes = None
         if self.bands is not None:
-            codes = pd.Categorical(
-                pdf[band_col].to_numpy()[order],
-                categories=self.bands).codes
+            vals = pdf[band_col].to_numpy()[order]
+            codes = pd.Categorical(vals, categories=self.bands).codes
+            # a TYPE mismatch (integer-coded column vs string bands or
+            # vice versa) makes every code -1 and would silently emit
+            # all-fill output for the whole table; an entity merely
+            # observed in other bands is legitimate and keeps the fill
+            # behavior
+            if len(codes) and (codes == -1).all() \
+                    and isinstance(vals[0], (str, bytes)) \
+                    != isinstance(self.bands[0], (str, bytes)):
+                raise ValueError(
+                    f"band column type {type(vals[0]).__name__!r} cannot "
+                    f"match bands={self.bands!r} — every code resolves "
+                    "to -1 (all-fill output)")
         return t, m, s, codes
 
     # ---- whole-entity extraction -----------------------------------------
@@ -167,6 +199,7 @@ class FeatureExtractor:
         pruned = obs.select(*cols)  # explicit column pruning into the UDF
 
         entity_field = pruned.schema[entity_col]
+        self._check_name_collisions([entity_col], "the entity column")
         schema = T.StructType([entity_field] + self._feature_fields())
         names = self.names
         this = self
@@ -214,7 +247,7 @@ class FeatureExtractor:
             payload_via_join: bool = True,
             use_arrow: bool = True) -> DataFrame:
         """Feature vector per probe row, window = {obs : t <= ts
-        [and t > ts - horizon]}.  All probe columns pass through untouched.
+        [and t >= ts - horizon, both bounds inclusive]}.  All probe columns pass through untouched.
 
         payload_via_join: when probes carry extra columns (token payloads),
         don't ship them through the Python workers at all — the UDF sees only
@@ -264,6 +297,7 @@ class FeatureExtractor:
                 obs_p, probes, entity_col, ts_col,
                 salt_partitions, hot_threshold)
 
+        self._check_name_collisions(probes.columns, "probe columns")
         probe_fields = [f for f in probes.schema.fields]
         schema = T.StructType(probe_fields + self._feature_fields())
         names = self.names
@@ -420,6 +454,12 @@ class FeatureExtractor:
         t_idx = resolve(t_field, "t")
         m_idx = resolve(m_field, "m")
         s_idx = resolve(sigma_field, "sigma")
+        if self.bands is not None and band_field is None:
+            # fail at the driver with the real cause, not a NameError
+            # inside every executor task
+            raise ValueError(
+                "banded extractor needs band_field (the struct field "
+                "carrying the band)")
         b_idx = resolve(band_field if self.bands is not None else None,
                         "band")
         numeric = [(t_idx, "t"), (m_idx, "m")] \
@@ -442,6 +482,7 @@ class FeatureExtractor:
                                 f"got {bt}")
 
         pass_names = [c for c in df.columns if c != curve_col]
+        self._check_name_collisions(pass_names, "pass-through columns")
         schema = T.StructType(
             [df.schema[c] for c in pass_names] + self._feature_fields())
         names = self.names
@@ -475,16 +516,28 @@ class FeatureExtractor:
                 for i in range(nrows):
                     sl = slice(offs[i], offs[i + 1])
                     t = childs[t_idx][sl]
-                    order = np.argsort(t, kind="mergesort")
+                    m = childs[m_idx][sl]
+                    # deterministic tie order on duplicate t, identical
+                    # to the plain t-sort when t is unique (see
+                    # _prepare_arrays)
+                    order = np.lexsort((m, t))
                     t = t[order]
-                    m = childs[m_idx][sl][order]
+                    m = m[order]
                     s = (childs[s_idx][sl][order]
                          if s_idx is not None else None)
                     if bands is None:
                         feats[i] = this._eval_window(t, m, s)
                     else:
-                        codes = pd.Categorical(band_all[sl][order],
+                        bvals = band_all[sl][order]
+                        codes = pd.Categorical(bvals,
                                                categories=bands).codes
+                        # type-mismatch guard — see _prepare_arrays
+                        if len(codes) and (codes == -1).all() \
+                                and isinstance(bvals[0], (str, bytes)) \
+                                != isinstance(bands[0], (str, bytes)):
+                            raise ValueError(
+                                f"band field type cannot match "
+                                f"bands={bands!r} (all codes -1)")
                         feats[i] = this._eval_window_banded(t, m, s, codes)
                 out = pa.schema(
                     [batch.schema.field(n) for n in pass_names]
@@ -529,7 +582,14 @@ class FeatureExtractor:
         """Split hot entities' probes across k buckets; replicate their
         observations per bucket.  Cold entities keep salt=0 with no
         replication, so total obs duplication is bounded by
-        k × (hot-entity rows)."""
+        k × (hot-entity rows).
+
+        LIMITATION: buckets are keyed on ``xxhash64(ts)`` (deterministic,
+        required for checkpoint resume).  A degenerate probe set with ONE
+        distinct ts per hot entity (single-snapshot scoring) lands every
+        probe in one bucket — the skew stays AND the k× obs replication
+        is still paid; disable salting (or spread the snapshot into
+        distinct ts values) for that workload shape."""
         counts = obs.groupBy(entity_col).agg(F.count("*").alias("_n_obs"))
         hot = counts.filter(F.col("_n_obs") > hot_threshold) \
                     .select(entity_col, F.lit(True).alias("_hot"))

@@ -404,3 +404,59 @@ def test_extract_null_entity_key_parity(spark):
     np.testing.assert_allclose(av[["mean", "amplitude"]].to_numpy(),
                                bv[["mean", "amplitude"]].to_numpy())
     assert a.doc_id.isna().sum() == 1
+
+
+def test_review_fixes_extract_guards(spark):
+    """Round-4 max-effort review regressions on the flagship path."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+
+    # transforms=True == transforms="default" (the reference's spelling)
+    a = FeatureExtractor(["skew"], transforms=True)
+    b = FeatureExtractor(["skew"], transforms="default")
+    assert a.transforms == b.transforms and a.transforms
+
+    # feature/probe name collision fails at the driver with a clear error
+    obs = spark.createDataFrame(
+        [("a", float(i), float(i % 5), 0.1, "g") for i in range(20)],
+        "doc_id string, t double, m double, sigma double, band string")
+    probes = spark.createDataFrame([("a", 5.0, 1.0)],
+                                   "doc_id string, ts double, mean double")
+    with pytest.raises(ValueError, match="collide"):
+        FeatureExtractor(["mean"]).extract_point_in_time(obs, probes)
+
+    # integer-coded band column vs string bands: clear error, not
+    # silent all-fill
+    obs_int = obs.withColumn("band", F.lit(0))
+    with pytest.raises(Exception, match="band"):
+        FeatureExtractor(["mean"], bands=["g", "r"]) \
+            .extract(obs_int).collect()
+
+    # entity observed only in OTHER bands still fills (no crash)
+    ex2 = FeatureExtractor(["mean"], bands=["g", "r"], fill_value=-5.0)
+    obs_i = obs.withColumn("band", F.lit("i"))
+    row = ex2.extract(obs_i).collect()[0]
+    assert row["mean_g"] == -5.0 and row["mean_r"] == -5.0
+
+    # banded extract_nested without band_field: driver-side error
+    nested = spark.createDataFrame(
+        [("a", [(1.0, 2.0, 0.1)])],
+        "doc_id string, curve array<struct<t:double,m:double,sigma:double>>")
+    with pytest.raises(ValueError, match="band_field"):
+        FeatureExtractor(["mean"], bands=["g"]).extract_nested(nested)
+
+    # duplicate timestamps: deterministic (value-ordered) tie handling —
+    # eta over [1,2] at equal t must not depend on arrival order
+    dup = spark.createDataFrame(
+        [("a", 1.0, 2.0, 0.1, "g"), ("a", 1.0, 1.0, 0.1, "g"),
+         ("a", 2.0, 3.0, 0.1, "g")],
+        "doc_id string, t double, m double, sigma double, band string")
+    vals = set()
+    for _ in range(3):
+        r = FeatureExtractor(["eta"]).extract(
+            dup.repartition(3)).collect()[0]
+        vals.add(round(r["eta"], 9))
+    assert len(vals) == 1
