@@ -2718,6 +2718,64 @@ WHERE n_tok > 0
 """.replace("{LANG_UNIONS}", _lang_unions_sql())
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/text.py
+    repetition_signals): duplicate-line fractions + top/duplicated
+    word-2-gram character coverage."""
+    from light_curve_python_spark.operators.text import repetition_signals
+    out = repetition_signals(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", _r("dup_line_frac", 6).alias("dup_line_frac"),
+        _r("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        _r("top_ngram_char_frac", 6).alias("top_ngram_char_frac"),
+        _r("dup_ngram_char_frac", 6).alias("dup_ngram_char_frac"))
+
+
+SQL_REPETITION = f"""
+WITH {WORDS_SQL.strip()},
+l AS (SELECT doc_id, text,
+        list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+      FROM documents),
+linesig AS (SELECT doc_id,
+    CASE WHEN len(lines) > 0 THEN
+      1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+      ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN list_aggregate(list_transform(lines, x -> len(x)), 'sum') > 0
+      THEN 1.0 - CAST(list_aggregate(list_transform(list_distinct(lines),
+                                                    x -> len(x)), 'sum')
+                      AS DOUBLE)
+           / list_aggregate(list_transform(lines, x -> len(x)), 'sum')
+      ELSE 0.0 END AS dup_line_char_frac,
+    len(text) AS n_chars
+  FROM l),
+grams AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+          FROM words a JOIN words b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+topg AS (SELECT doc_id, c * len(g) AS top_chars,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY c DESC, g DESC) AS rk
+         FROM counts),
+dupg AS (SELECT doc_id,
+           sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS dup_chars
+         FROM counts GROUP BY doc_id)
+SELECT linesig.doc_id,
+  ROUND(dup_line_frac, 6) AS dup_line_frac,
+  ROUND(dup_line_char_frac, 6) AS dup_line_char_frac,
+  ROUND(CASE WHEN n_chars > 0
+        THEN CAST(coalesce(top_chars, 0) AS DOUBLE) / n_chars
+        ELSE 0.0 END, 6) AS top_ngram_char_frac,
+  ROUND(CASE WHEN n_chars > 0
+        THEN CAST(coalesce(dup_chars, 0) AS DOUBLE) / n_chars
+        ELSE 0.0 END, 6) AS dup_ngram_char_frac
+FROM linesig
+LEFT JOIN (SELECT doc_id, top_chars FROM topg WHERE rk = 1) t
+  ON linesig.doc_id = t.doc_id
+LEFT JOIN dupg ON linesig.doc_id = dupg.doc_id
+"""
+
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -2795,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram_folded": q_periodogram_folded,
         "dmdt_gausses": q_dmdt_gausses,
         "cosine_dup_pairs": q_cosine_dup_pairs,
+        "repetition_signals": q_repetition_signals,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
 
@@ -2861,6 +2920,7 @@ def oracle_sql() -> dict[str, str]:
         "periodogram_folded": SQL_PERIODOGRAM_FOLDED,
         "dmdt_gausses": _sql_dmdt_gausses(),
         "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
+        "repetition_signals": SQL_REPETITION,
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)
     return {k: v.replace("ROUND(", f"ROUND({EPS_ROUND} + ")

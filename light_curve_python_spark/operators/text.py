@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["with_word_tokens", "text_quality", "language_id",
            "token_count_bpe_ish", "rolling_fingerprint", "quality_filter",
-           "word_bigrams", "pii_scrub"]
+           "word_bigrams", "pii_scrub", "repetition_signals"]
 
 # PII patterns restricted to the regex subset Java regex and RE2 share
 # (no backreferences / lookaround), so the DuckDB oracle twin runs the
@@ -213,3 +213,79 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
             lambda acc, w: F.pmod(acc * 31 + F.pmod(F.xxhash64(w),
                                                     F.lit(prime)),
                                   F.lit(prime))).alias("fingerprint"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       ngram_n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1's
+    repetitious-text family), per document:
+
+    - ``dup_line_frac``: 1 − distinct lines / lines (fraction of line
+      OCCURRENCES that are repeats of an earlier line);
+    - ``dup_line_char_frac``: same, weighted by characters;
+    - ``top_ngram_char_frac``: characters covered by occurrences of the
+      single most frequent word ``ngram_n``-gram ÷ total characters
+      (boilerplate detector; count ties broken deterministically by the
+      lexicographically GREATEST gram — struct-max semantics);
+    - ``dup_ngram_char_frac``: Σ over grams occurring ≥2× of
+      occurrences×gram_chars ÷ total characters (the simple
+      occurrence-weighted form — Gopher's overlap-deduplicated char
+      coverage is noted as a divergence).
+
+    Filter these at the Gopher thresholds (e.g. dup_line_frac > 0.30,
+    top_2gram_char_frac > 0.20) alongside ``quality_filter``.
+
+    Scale shape: the line signals are pure JVM HOFs (zero shuffle); the
+    n-gram signals are one explode + per-(doc, gram) count with map-side
+    combine + one per-doc aggregation — the same shape as word_bigrams.
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    chars_of = F.aggregate(lines, F.lit(0),
+                           lambda acc, x: acc + F.length(x))
+    dchars = F.aggregate(F.array_distinct(lines), F.lit(0),
+                         lambda acc, x: acc + F.length(x))
+    n_lines = F.size(lines)
+    base = df.select(
+        id_col, F.col(text_col).alias("_txt"),
+        F.when(n_lines > 0,
+               1.0 - F.size(F.array_distinct(lines)) / n_lines)
+        .otherwise(0.0).alias("dup_line_frac"),
+        F.when(chars_of > 0, 1.0 - dchars / chars_of)
+        .otherwise(0.0).alias("dup_line_char_frac"),
+        F.length(text_col).alias("_n_chars"))
+
+    ws = F.filter(F.split(F.col("_txt"), r"\s+"), lambda w: w != "")
+    n = F.size(ws) - (ngram_n - 1)
+    grams = (base.select(id_col, "_n_chars",
+                         F.explode(F.when(n >= 1, F.transform(
+                             F.sequence(F.lit(0), F.greatest(
+                                 n - 1, F.lit(0))),
+                             lambda i: F.concat_ws(
+                                 " ", F.slice(ws, i + 1, ngram_n))))
+                             .otherwise(F.array())).alias("g")))
+    counts = (grams.groupBy(id_col, "_n_chars", "g")
+              .agg(F.count("*").alias("_c")))
+    per_doc = counts.groupBy(id_col, "_n_chars").agg(
+        # struct max: count first, then gram string (deterministic ties)
+        F.max(F.struct(F.col("_c"),
+                       F.col("g").alias("_g"))).alias("_top"),
+        F.sum(F.when(F.col("_c") >= 2,
+                     F.col("_c") * F.length("g")).otherwise(0))
+        .alias("_dup_chars"))
+    out = (base.select(id_col, "dup_line_frac", "dup_line_char_frac",
+                       "_n_chars")
+           .join(per_doc.select(
+               id_col,
+               (F.col("_top._c") * F.length("_top._g")).alias("_top_chars"),
+               "_dup_chars"), id_col, "left"))
+    return out.select(
+        id_col, "dup_line_frac", "dup_line_char_frac",
+        F.when(F.col("_n_chars") > 0,
+               F.coalesce(F.col("_top_chars"), F.lit(0))
+               / F.col("_n_chars")).otherwise(0.0)
+        .alias("top_ngram_char_frac"),
+        F.when(F.col("_n_chars") > 0,
+               F.coalesce(F.col("_dup_chars"), F.lit(0))
+               / F.col("_n_chars")).otherwise(0.0)
+        .alias("dup_ngram_char_frac"))

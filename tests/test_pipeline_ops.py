@@ -556,3 +556,44 @@ def test_review_fixes_operator_guards(spark):
     r = pii_scrub(docs).collect()[0]
     assert r.n_email == 1 and r.n_phone == 0 and r.n_ipv4 == 0
     assert "<EMAIL>" in r.text_clean and "<PHONE>" not in r.text_clean
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition signals vs a plain-python reference."""
+    from collections import Counter
+
+    from light_curve_python_spark.operators.text import repetition_signals
+    docs = [
+        (1, "a b\na b\nc d"),                # one duplicate line
+        (2, "x y x y x y"),                  # heavy 2-gram repetition
+        (3, "all distinct words here now"),  # clean
+        (4, ""),                             # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+
+    for doc_id, text in docs:
+        lines = [ln for ln in text.split("\n") if ln != ""]
+        r = got[doc_id]
+        if lines:
+            assert r.dup_line_frac == pytest.approx(
+                1 - len(set(lines)) / len(lines))
+            assert r.dup_line_char_frac == pytest.approx(
+                1 - sum(map(len, set(lines))) / sum(map(len, lines)))
+        else:
+            assert r.dup_line_frac == 0.0
+        words = text.split()
+        grams = [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+        n_chars = len(text)
+        if grams and n_chars:
+            cnt = Counter(grams)
+            top_c = max(cnt.values())
+            top_g = max(g for g, c in cnt.items() if c == top_c)
+            assert r.top_ngram_char_frac == pytest.approx(
+                top_c * len(top_g) / n_chars)
+            dup_chars = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+            assert r.dup_ngram_char_frac == pytest.approx(
+                dup_chars / n_chars)
+        else:
+            assert r.top_ngram_char_frac == 0.0
+            assert r.dup_ngram_char_frac == 0.0
