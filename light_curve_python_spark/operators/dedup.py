@@ -22,21 +22,28 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_dedup", "shingle", "minhash_signatures", "lsh_candidates",
+__all__ = ["content_digest",
+           "exact_dedup", "shingle", "minhash_signatures", "lsh_candidates",
            "simhash64", "ngram_jaccard_pairs", "connected_components",
            "dedup_groups", "minhash_dedup", "ngram_contamination"]
+
+
+def content_digest(cols: Sequence[str]):
+    """THE row-content digest for exact dedup — one definition shared by
+    the batch operator and the streaming twin so backfill and live
+    streams agree on identity.  md5(to_json(struct(...))): column
+    boundaries AND nulls are encoded explicitly (xxhash64 treats a NULL
+    column as a no-op on its seed, so ("ab", NULL) and (NULL, "ab")
+    would collide), and 128 bits keeps the any-pair birthday collision
+    probability negligible at 10^12 rows (64 bits would not)."""
+    return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str],
                 keep_col: str = "doc_id") -> DataFrame:
     """Keep one representative row (min keep_col) per exact duplicate group
     over ``cols``; adds ``dup_count``."""
-    # md5(to_json(struct(...))): column boundaries AND nulls are encoded
-    # explicitly (xxhash64 treats a NULL column as a no-op on its seed, so
-    # ("ab", NULL) and (NULL, "ab") would collide), and 128 bits keeps the
-    # any-pair birthday collision probability negligible at 10^12 rows
-    # (64 bits would not)
-    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    digest = content_digest(cols)
     w = Window.partitionBy("_digest")
     return (df.withColumn("_digest", digest)
             .withColumn("dup_count", F.count("*").over(w))

@@ -50,6 +50,12 @@ def streaming_asof_join(probes: DataFrame, obs: DataFrame, on: str,
     (stored as doubles in state).  Output: one row per probe —
     ``(key, ts, {value}{suffix}..., {right_ts}{suffix})``."""
     value_cols = list(value_cols)
+    reserved = {"_t", "_is_probe"}
+    taken = reserved & (set(value_cols) | {on, left_ts, right_ts})
+    if taken:
+        # same upfront rejection as the batch twin — a collision would
+        # otherwise surface as an ambiguous-reference error mid-stream
+        raise ValueError(f"names reserved by streaming_asof_join: {taken}")
     key_field = probes.schema[on]
 
     tagged_obs = obs.select(
@@ -89,7 +95,13 @@ def streaming_asof_join(probes: DataFrame, obs: DataFrame, on: str,
         rows = pd.concat(list(pdfs), ignore_index=True)
         isp = rows["_is_probe"].to_numpy()
         tv = rows["_t"].to_numpy(dtype=np.float64)
-        obs_mask = isp == 0
+        # a NaN observation time would sort to the history's END and
+        # poison every later eviction (cutoff = NaN evicts the whole
+        # horizon); a NaN probe ts would searchsorted to len and match
+        # the NEWEST observation instead of the batch twin's null match —
+        # drop NaN obs rows, emit NaN probe rows unmatched
+        finite = np.isfinite(tv)
+        obs_mask = (isp == 0) & finite
         if obs_mask.any():
             new_t = tv[obs_mask]
             order = np.argsort(new_t, kind="mergesort")
@@ -101,10 +113,12 @@ def streaming_asof_join(probes: DataFrame, obs: DataFrame, on: str,
             for i, c in enumerate(value_cols):
                 nv = rows.loc[obs_mask, c].to_numpy(dtype=np.float64)[order]
                 hist_v[i] = np.insert(hist_v[i], pos, nv)
-        probe_mask = ~obs_mask
+        probe_mask = isp == 1
         if probe_mask.any():
             pts = tv[probe_mask]
-            idx = np.searchsorted(hist_t, pts, side="right") - 1
+            idx = np.searchsorted(hist_t, np.where(np.isfinite(pts),
+                                                   pts, -np.inf),
+                                  side="right") - 1
             hit = idx >= 0
             data = {}
             data[on] = np.repeat(key[0], len(pts))

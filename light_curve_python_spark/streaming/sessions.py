@@ -28,7 +28,8 @@ def streaming_exact_dedup(stream: DataFrame, cols, ts_col: str = "ts",
     digest; ``dropDuplicatesWithinWatermark`` ages keys out once they fall
     behind the event-time watermark — bounded state at unbounded stream
     length (an exact forever-dedup needs an external key store instead)."""
-    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    from ..operators.dedup import content_digest
+    digest = content_digest(cols)
     return (stream
             .withWatermark(ts_col, watermark)
             .withColumn("_digest", digest)
@@ -40,15 +41,28 @@ def streaming_session_stats(events: DataFrame, key_col: str = "user_id",
                             ts_col: str = "ts", gap: str = "30 minutes",
                             value_col: str = "value",
                             watermark: str = "1 hour") -> DataFrame:
-    """Per-(key, session) aggregate over a gap-based session window."""
+    """Per-(key, session) aggregate over a gap-based session window.
+
+    ``session_start``/``session_end`` are the first/last EVENT times of
+    the session (Spark's raw ``session_window.end`` is last-event + gap;
+    it is replaced by ``max(ts)`` here so the columns mean the same
+    thing as the batch ``session_stats``).
+
+    DOCUMENTED BOUNDARY DIVERGENCE from the batch operator: two events
+    spaced EXACTLY ``gap`` apart fall in one batch session (the split
+    condition is ``dt > gap``) but in two streaming sessions
+    (``F.session_window``'s half-open [t, t+gap) windows do not overlap
+    at exactly-gap spacing).  Continuous event times make this a
+    measure-zero edge; pin one semantics before comparing live vs
+    backfill on discretized timestamps."""
     return (events
             .withWatermark(ts_col, watermark)
             .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
             .agg(F.count("*").alias("n_events"),
-                 F.sum(value_col).alias("value_sum"))
-            .select(key_col,
-                    F.col("session_window.start").alias("session_start"),
-                    F.col("session_window.end").alias("session_end"),
+                 F.sum(value_col).alias("value_sum"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"))
+            .select(key_col, "session_start", "session_end",
                     "n_events", "value_sum"))
 
 

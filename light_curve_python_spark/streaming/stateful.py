@@ -18,14 +18,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["streaming_n_not_det_before_fd"]
 
-OUTPUT_SCHEMA = T.StructType([
-    T.StructField("user_id", T.LongType()),
-    T.StructField("n_non_detections_before_fd", T.LongType()),
-    T.StructField("first_detection_seen", T.BooleanType()),
-])
 STATE_SCHEMA = T.StructType([
     T.StructField("n_before", T.LongType()),
     T.StructField("seen", T.BooleanType()),
+    T.StructField("last_ts", T.DoubleType()),
 ])
 
 
@@ -35,31 +31,60 @@ def streaming_n_not_det_before_fd(events: DataFrame,
                                   sigma_threshold: float = 250.0) -> DataFrame:
     """Streaming count of non-detections (m <= threshold) before the first
     detection per key.  Rows within a batch are processed in event-time
-    order; state carries across micro-batches."""
+    order with DETECTIONS FIRST among equal timestamps (the batch twin
+    counts strictly ``t < first_detection_t``, so an equal-ts
+    non-detection must not be counted); cross-batch LATE rows are
+    DROPPED (they cannot be folded into an already-advanced counter
+    without rewriting history — the same leak-free subset contract as
+    ``streaming_pit_features(late_policy='drop')``); state carries
+    across micro-batches."""
+    out_schema = T.StructType([
+        events.schema[key_col],
+        T.StructField("n_non_detections_before_fd", T.LongType()),
+        T.StructField("first_detection_seen", T.BooleanType()),
+    ])
 
     def fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
         if state.exists:
-            n_before, seen = state.get
+            n_before, seen, last_ts = state.get
         else:
-            n_before, seen = 0, False
+            n_before, seen, last_ts = 0, False, math.nan
+        import numpy as np
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(ts_col)
-        for v in rows[m_col]:
+        # ts asc, detections before non-detections on ties
+        rows = rows.assign(
+            _det=(rows[m_col] > sigma_threshold)).sort_values(
+            [ts_col, "_det"], ascending=[True, False])
+        tser = rows[ts_col]
+        if pd.api.types.is_datetime64_any_dtype(tser):
+            # timestamp columns: compare as epoch seconds (NaT -> NaN,
+            # skipped like any non-finite time)
+            tnum = np.where(tser.isna(), np.nan,
+                            tser.astype("int64", copy=False) / 1e9)
+        else:
+            tnum = tser.to_numpy(dtype=np.float64)
+        for ts, v in zip(tnum, rows[m_col]):
+            if not math.isfinite(ts):
+                continue
+            if not math.isnan(last_ts) and ts < last_ts:
+                continue                    # cross-batch late row: drop
+            last_ts = ts
             if seen:
                 break
             if v > sigma_threshold:
                 seen = True
             else:
                 n_before += 1
-        state.update((n_before, seen))
+        state.update((int(n_before), bool(seen), float(last_ts)))
         yield pd.DataFrame({
-            "user_id": [key[0]],
+            key_col: [key[0]],
             "n_non_detections_before_fd": [n_before],
             "first_detection_seen": [seen],
         })
 
     return (events.groupBy(key_col)
-            .applyInPandasWithState(fn, OUTPUT_SCHEMA, STATE_SCHEMA,
+            .applyInPandasWithState(fn, out_schema, STATE_SCHEMA,
                                     "update",
                                     GroupStateTimeout.NoTimeout))

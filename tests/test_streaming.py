@@ -465,3 +465,84 @@ def test_streaming_features_skip_nan_event_time(spark, tmp_path):
         # NaN-t row skipped; t=50 (late, cross-batch) dropped; 100+200 kept
         assert sorted(got.t.tolist()) == [100.0, 200.0], name
         assert got.observation_count.max() == 2, name
+
+
+def test_streaming_asof_nan_times_and_session_end(spark, tmp_path):
+    """Round-4 streaming review regressions: a NaN observation time must
+    not poison lookback eviction; a NaN probe ts emits an unmatched row
+    (the batch twin's null match) instead of grabbing the newest
+    observation; streaming session_end is the last EVENT time (max ts),
+    not last + gap."""
+    import numpy as np
+    from light_curve_python_spark.streaming.asof import streaming_asof_join
+    from light_curve_python_spark.streaming.sessions import (
+        streaming_session_stats,
+    )
+    obs = pd.DataFrame({"k": "a", "t": [1.0, 2.0, 3.0, float("nan")],
+                        "v": [10.0, 20.0, 30.0, 99.0]})
+    probes = pd.DataFrame({"k": "a", "ts": [2.5, float("nan")]})
+    od, pdir = str(tmp_path / "o"), str(tmp_path / "p")
+    spark.createDataFrame(obs).coalesce(1).write.mode("overwrite").parquet(od)
+    spark.createDataFrame(probes).coalesce(1).write.mode("overwrite") \
+        .parquet(pdir)
+    out = (streaming_asof_join(
+        spark.readStream.schema("k string, ts double").parquet(pdir),
+        spark.readStream.schema("k string, t double, v double").parquet(od),
+        on="k", value_cols=["v"], lookback=20.0)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "ao"))
+        .option("checkpointLocation", str(tmp_path / "ac"))
+        .outputMode("append").trigger(availableNow=True).start())
+    out.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "ao")).toPandas()
+    assert len(got) == 2
+    matched = got[got.ts == 2.5].iloc[0]
+    # in-horizon probe still matches t=2 (eviction not poisoned by NaN)
+    assert matched.t_asof == 2.0 and matched.v_asof == 20.0
+    nanrow = got[got.ts.isna()].iloc[0]
+    assert np.isnan(nanrow.t_asof) and np.isnan(nanrow.v_asof)
+
+    ev = pd.DataFrame({"user_id": 1,
+                       "ts": pd.to_datetime([0, 60], unit="s"),
+                       "value": [1.0, 2.0]})
+    sd = str(tmp_path / "sev")
+    spark.createDataFrame(ev).coalesce(1).write.mode("overwrite").parquet(sd)
+    q = (streaming_session_stats(
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(sd), gap="30 minutes")
+        .writeStream.format("memory").queryName("sess_end_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sc"))
+        .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    srow = spark.sql("SELECT * FROM sess_end_t").toPandas().iloc[0]
+    # end == last event time, not last + gap
+    assert srow.session_end == pd.Timestamp(60, unit="s")
+    assert srow.session_start == pd.Timestamp(0, unit="s")
+
+
+def test_streaming_counter_key_schema_and_ties(spark, tmp_path):
+    """The stateful counter honors a custom (string) key column and the
+    batch tie rule: an equal-ts non-detection at the first detection's
+    timestamp is NOT counted."""
+    from light_curve_python_spark.streaming.stateful import (
+        streaming_n_not_det_before_fd,
+    )
+    ev = pd.DataFrame({"doc_id": "e0",
+                       "ts": [1.0, 5.0, 5.0],
+                       "value": [10.0, 400.0, 20.0]})
+    sd = str(tmp_path / "cev")
+    spark.createDataFrame(ev).coalesce(1).write.mode("overwrite").parquet(sd)
+    q = (streaming_n_not_det_before_fd(
+        spark.readStream.schema("doc_id string, ts double, value double")
+        .parquet(sd), key_col="doc_id", ts_col="ts", m_col="value")
+        .writeStream.format("memory").queryName("ndet_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cc"))
+        .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ndet_t").toPandas()
+    row = got.iloc[-1]
+    assert row.doc_id == "e0"
+    assert row.n_non_detections_before_fd == 1      # only the ts=1 row
+    assert bool(row.first_detection_seen)
