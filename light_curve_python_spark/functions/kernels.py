@@ -461,18 +461,7 @@ def _anderson_darling_normal(t, m, s):
     log(1-Φ(y_{n+1-i}))))."""
     n = len(m)
     y = np.sort(m)
-    std = np.std(y, ddof=1)
-    if std == 0:
-        raise ValueError("zero variance")
-    z = (y - np.mean(y)) / std
-    cdf = ndtr(z)
-    # clip to avoid log(0) for extreme tails (scipy relies on log cdf accuracy)
-    eps = np.finfo(np.float64).tiny
-    logcdf = np.log(np.clip(cdf, eps, None))
-    logsf = np.log(np.clip(1.0 - cdf, eps, None))
-    i = np.arange(1, n + 1)
-    a2 = -n - np.sum((2 * i - 1.0) / n * (logcdf + logsf[::-1]))
-    return np.array([a2 * (1 + 4.0 / n - 25.0 / n ** 2)])
+    return _ad_from_sorted(y, np.mean(y), np.std(y, ddof=1), n)
 
 
 _simple("anderson_darling_normal", "anderson_darling_normal",
@@ -576,12 +565,9 @@ def _otsu_threshold_arg(sorted_m: np.ndarray):
     return arg, mean0, mean1
 
 
-def _otsu_split(t, m, s):
-    # features/otsusplit.py:25-40
-    n = len(m)
-    if n < 2:
-        raise ValueError("need >= 2 points")
-    ms = np.sort(m)
+def _otsu_from_sorted(ms: np.ndarray, n: int) -> np.ndarray:
+    """Shared Otsu-split body over a pre-sorted window — the func and ctx
+    forms must stay numerically identical, so there is exactly one."""
     arg, mean0, mean1 = _otsu_threshold_arg(ms)
     lower = ms[: arg + 1]
     upper = ms[arg + 1:]
@@ -589,6 +575,32 @@ def _otsu_split(t, m, s):
     std_upper = 0.0 if len(upper) == 1 else np.std(upper, ddof=1)
     return np.array([mean1[arg] - mean0[arg], std_lower, std_upper,
                      (arg + 1) / n])
+
+
+def _ad_from_sorted(y: np.ndarray, mean: float, std: float,
+                    n: int) -> np.ndarray:
+    """Shared AndersonDarlingNormal body over a pre-sorted window (the
+    mean/std come from the caller — two-pass in the func form, prefix-sum
+    in the ctx form, equal to ulps)."""
+    if std == 0:
+        raise ValueError("zero variance")
+    z = (y - mean) / std
+    cdf = ndtr(z)
+    # clip to avoid log(0) for extreme tails (scipy relies on log cdf accuracy)
+    eps = np.finfo(np.float64).tiny
+    logcdf = np.log(np.clip(cdf, eps, None))
+    logsf = np.log(np.clip(1.0 - cdf, eps, None))
+    i = np.arange(1, n + 1)
+    a2 = -n - np.sum((2 * i - 1.0) / n * (logcdf + logsf[::-1]))
+    return np.array([a2 * (1 + 4.0 / n - 25.0 / n ** 2)])
+
+
+def _otsu_split(t, m, s):
+    # features/otsusplit.py:25-40
+    n = len(m)
+    if n < 2:
+        raise ValueError("need >= 2 points")
+    return _otsu_from_sorted(np.sort(m), n)
 
 
 def otsu_threshold(m: np.ndarray) -> float:
@@ -669,6 +681,7 @@ def lomb_scargle_power(t: np.ndarray, y: np.ndarray,
     """
     t = np.asarray(t, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    freqs = np.asarray(freqs, dtype=np.float64)
     y = y - np.mean(y)  # precenter
     n = len(t)
     out = np.empty(len(freqs), dtype=np.float64)
@@ -750,11 +763,36 @@ def _validate_fast_freqs(freqs: np.ndarray) -> float:
             "two plus one, e.g. 2**k + 1")
     step = float(freqs[1] - freqs[0])
     rel = np.abs(np.diff(freqs) / step - 1.0)
-    if np.any(rel >= 10.0 * np.finfo(np.float32).eps):
+    # np.all(rel < tol), NOT any(rel >= tol): a zero-step grid makes rel
+    # NaN, which fails every comparison — the inverted form would ACCEPT
+    # the degenerate grid the reference rejects
+    if not np.all(rel < 10.0 * np.finfo(np.float32).eps):
         raise ValueError(
             "When freqs=[...] and fast=True, freqs must be a linear grid, "
             "like np.linspace(0, max_freq, 2**k + 1)")
     return step
+
+
+def periodogram_peak_indices(power: np.ndarray,
+                             peaks: int) -> np.ndarray:
+    """Strict interior local maxima, sorted by power descending (stable),
+    truncated to ``peaks`` — shared by the single-band periodogram kernel
+    and the multiband operator so the two peak semantics cannot drift.
+
+    DOCUMENTED DIVERGENCE: when NO strict interior maximum exists
+    (monotone or flat spectrum), the reference pads the missing peaks
+    with 0.0; the engine instead reports the global argmax (typically a
+    boundary frequency) — a physical frequency with a computed S/N beats
+    a zero sentinel for downstream consumers, and the choice is pinned by
+    the periodogram_peaks oracle twin."""
+    if len(power) >= 3:
+        interior = (power[1:-1] > power[:-2]) & (power[1:-1] > power[2:])
+        idx = np.nonzero(interior)[0] + 1
+    else:
+        idx = np.array([], dtype=np.int64)
+    if len(idx) == 0:
+        idx = np.array([int(np.argmax(power))])
+    return idx[np.argsort(-power[idx], kind="stable")][:peaks]
 
 
 def periodogram_power(t, m, *, resolution=10.0, max_freq_factor=1.0,
@@ -843,6 +881,10 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
     names += tuple(
         f"period_folded_{n}" for k in fold_kernels for n in k.names)
 
+    if freqs is not None and len(freqs) < 2:
+        # the reference raises regardless of fast (features.rs freqs
+        # size < 2); accepting one value would silently fill NaN at eval
+        raise ValueError("freqs must have at least two values")
     if freqs is not None and fast:
         _validate_fast_freqs(np.asarray(freqs, dtype=np.float64))
 
@@ -853,14 +895,7 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
             freqs=None if freqs is None
             else np.asarray(freqs, dtype=np.float64))
         out = np.zeros(2 * peaks)
-        if len(power) >= 3:
-            interior = (power[1:-1] > power[:-2]) & (power[1:-1] > power[2:])
-            idx = np.nonzero(interior)[0] + 1
-        else:
-            idx = np.array([], dtype=np.int64)
-        if len(idx) == 0:
-            idx = np.array([int(np.argmax(power))])
-        order = idx[np.argsort(-power[idx], kind="stable")][:peaks]
+        order = periodogram_peak_indices(power, peaks)
         p_mean = np.mean(power)
         p_std = np.std(power, ddof=1)
         for rank, i in enumerate(order):
@@ -868,7 +903,11 @@ def _periodogram_factory(peaks: int = 1, resolution: float = 10.0,
             out[2 * rank + 1] = (power[i] - p_mean) / p_std
         parts = [out]
         if spec_kernels:
-            parts.append(evaluate_many(spec_kernels, fgrid, power, None,
+            # the reference's spectrum series carries UNIT weights —
+            # sigma=None would make any needs_sigma spectrum feature
+            # raise and nuke the whole concatenated vector to fill
+            parts.append(evaluate_many(spec_kernels, fgrid, power,
+                                       np.ones_like(power),
                                        fill_value=np.nan))
         if fold_kernels:
             best_period = 2.0 * math.pi / fgrid[order[0]]
@@ -934,30 +973,11 @@ def _ctx_linear_trend(ctx: WindowContext) -> np.ndarray:
 def _ctx_otsu(ctx: WindowContext) -> np.ndarray:
     if ctx.n < 2:
         raise ValueError("need >= 2 points")
-    ms = ctx.sorted_m
-    n = ctx.n
-    arg, mean0, mean1 = _otsu_threshold_arg(ms)
-    lower = ms[: arg + 1]
-    upper = ms[arg + 1:]
-    std_lower = 0.0 if len(lower) == 1 else np.std(lower, ddof=1)
-    std_upper = 0.0 if len(upper) == 1 else np.std(upper, ddof=1)
-    return np.array([mean1[arg] - mean0[arg], std_lower, std_upper,
-                     (arg + 1) / n])
+    return _otsu_from_sorted(ctx.sorted_m, ctx.n)
 
 
 def _ctx_anderson(ctx: WindowContext) -> np.ndarray:
-    n = ctx.n
-    std = ctx.std1
-    if std == 0:
-        raise ValueError("zero variance")
-    z = (ctx.sorted_m - ctx.mean) / std
-    cdf = ndtr(z)
-    eps = np.finfo(np.float64).tiny
-    logcdf = np.log(np.clip(cdf, eps, None))
-    logsf = np.log(np.clip(1.0 - cdf, eps, None))
-    i = np.arange(1, n + 1)
-    a2 = -n - np.sum((2 * i - 1.0) / n * (logcdf + logsf[::-1]))
-    return np.array([a2 * (1 + 4.0 / n - 25.0 / n ** 2)])
+    return _ad_from_sorted(ctx.sorted_m, ctx.mean, ctx.std1, ctx.n)
 
 
 _CTX_IMPLS: Dict[str, Callable[..., Callable]] = {
@@ -1080,6 +1100,8 @@ def evaluate_many(kernels: Sequence[Kernel], t, m, sigma=None,
     """Single-pass evaluation of a kernel list over one window — the analogue
     of the reference's Extractor fusion (features/extractor.py:36-41):
     shared intermediates (sort, diffs, moments, weights) computed once."""
+    if not kernels:
+        raise ValueError("evaluate_many needs at least one kernel")
     ctx = WindowContext(t, m, sigma)
     return np.concatenate(
         [evaluate_kernel(k, t, m, sigma, fill_value, ctx) for k in kernels])

@@ -83,6 +83,7 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
     from ..functions.kernels import (
         lomb_scargle_power,
         periodogram_freq_grid,
+        periodogram_peak_indices,
     )
     if weighting not in ("chi2", "count"):
         raise ValueError("weighting must be 'chi2' or 'count'")
@@ -123,15 +124,7 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
         vals = np.full(2 * peaks, np.nan)
         if den > 0:
             power = num / den
-            if len(power) >= 3:
-                interior = (power[1:-1] > power[:-2]) \
-                    & (power[1:-1] > power[2:])
-                idx = np.nonzero(interior)[0] + 1
-            else:
-                idx = np.array([], dtype=np.int64)
-            if len(idx) == 0:
-                idx = np.array([int(np.argmax(power))])
-            top = idx[np.argsort(-power[idx], kind="stable")][:peaks]
+            top = periodogram_peak_indices(power, peaks)
             p_mean = np.mean(power)
             p_std = np.std(power, ddof=1)
             for rank, i in enumerate(top):

@@ -444,3 +444,37 @@ def test_periodogram_kernel_fast_default_matches_exact():
     out_e = evaluate_kernel(k_exact, t, m, None, fill_value=None)
     np.testing.assert_allclose(out_f, out_e, rtol=1e-3)
     assert out_f[0] == pytest.approx(7.0, rel=0.01)
+
+
+def test_review_fixes_periodogram_edges():
+    """Round-4 kernels review regressions: degenerate fast grids are
+    rejected (NaN-inverted check); freqs needs >= 2 values regardless of
+    fast; list freqs coerces; sigma-requiring spectrum sub-features
+    compute with unit weights instead of nuking the output."""
+    import numpy as np
+    import pytest
+
+    from light_curve_python_spark.functions.kernels import (
+        evaluate_kernel,
+        lomb_scargle_power,
+        make_kernel,
+        periodogram_power,
+    )
+    rng = np.random.default_rng(5)
+    t = np.sort(rng.uniform(0, 100, 80))
+    m = np.sin(2 * np.pi * t / 7.0) + 0.1 * rng.standard_normal(80)
+    s = np.full(80, 0.1)
+
+    with pytest.raises(ValueError, match="linear grid"):
+        periodogram_power(t, m, freqs=np.zeros(5), fast=True)
+    with pytest.raises(ValueError, match="two values"):
+        make_kernel("periodogram", freqs=[5.0], fast=False)
+    # list freqs works like an array
+    got = lomb_scargle_power(t, m - m.mean(), [1.0, 2.0])
+    want = lomb_scargle_power(t, m - m.mean(), np.array([1.0, 2.0]))
+    np.testing.assert_allclose(got, want)
+
+    k = make_kernel("periodogram",
+                    features=("stetson_k", "standard_deviation"))
+    out = evaluate_kernel(k, t, m, s)
+    assert np.isfinite(out).all()          # was all-NaN before the fix
