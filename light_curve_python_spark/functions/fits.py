@@ -134,14 +134,17 @@ class LnPrior:
                 return -math.log(x) - math.log(math.log(right / left))
             return -math.inf
         if k == "mix":
+            # log-sum-exp: the linear-space sum underflows to -inf past
+            # ~-745 where the exact log-density is finite, silently
+            # turning the prior's far tail into a hard bound
             pairs = kw["mix"]
             tot = sum(w for w, _ in pairs)
-            acc = 0.0
-            for w, pr in pairs:
-                lp = pr(x)
-                if lp > -math.inf:
-                    acc += (w / tot) * math.exp(lp)
-            return math.log(acc) if acc > 0 else -math.inf
+            lps = [math.log(w / tot) + pr(x) for w, pr in pairs
+                   if pr(x) > -math.inf]
+            if not lps:
+                return -math.inf
+            mx = max(lps)
+            return mx + math.log(sum(math.exp(lp - mx) for lp in lps))
         raise ValueError(f"unknown prior kind: {k}")
 
 
@@ -382,6 +385,16 @@ def villar_hosseinzadeh2020_priors(t, m):
     - beta: uniform [0, 0.01] /d (declining plateau);
     - tau_rise: uniform [0.01, 50] d; tau_fall: uniform [1, 300] d.
     """
+    if 100.0 * float(np.max(m)) <= 1.0:
+        # the amplitude prior log_uniform(1, 100*max) would have an
+        # empty/inverted support: the MAP cost is -inf at every start,
+        # LM never moves, and the clipped start would be reported as a
+        # converged fit with a finite (huge) chi2 — fail instead (the
+        # operator's fill contract catches ValueError)
+        raise ValueError(
+            "hosseinzadeh2020 priors assume survey-like flux units with "
+            f"max flux > 0.01 (got {float(np.max(m)):.3g}); rescale the "
+            "flux or use explicit priors")
     return [
         LnPrior.log_uniform(1.0, 100.0 * float(np.max(m))),
         LnPrior.none(),
@@ -431,6 +444,20 @@ def _fit_kernel(key: str, model: Callable, param_names: Sequence[str],
                 raise ValueError(
                     f"{key}: ln_prior needs {n_par} entries "
                     f"(one per parameter), got {len(priors)}")
+        # validate explicit init/bounds AT CONSTRUCTION — a wrong length
+        # only surfaces per curve as a broadcast error that the fill
+        # contract converts into a silently all-fill column
+        if init is not None and len(init) != n_par:
+            raise ValueError(f"{key}: init needs {n_par} values, "
+                             f"got {len(init)}")
+        if bounds is not None:
+            if len(bounds) != n_par:
+                raise ValueError(f"{key}: bounds needs {n_par} (lo, hi) "
+                                 f"pairs, got {len(bounds)}")
+            for lo, hi in bounds:
+                if not lo <= hi:
+                    raise ValueError(
+                        f"{key}: inverted bound pair ({lo}, {hi})")
 
         def fn(t, m, s):
             if len(t) <= n_par + 1:

@@ -431,6 +431,11 @@ def rainbow_fit_arrays(t, m, sigma, band, band_wave_cm: Dict[str, float],
     114-128 via _base.py:424-430).  r_chisq keeps the Minuit FCN
     convention (NLL / dof), which reduces to 0.5*chi2/dof when no point
     is censored."""
+    if not 1 <= n_starts <= 4:
+        # the multi-start schedule is a FIXED deterministic set of 4
+        # jittered inits; 0 would crash on an empty best and >4 would
+        # silently run fewer starts than the caller asked for
+        raise ValueError("n_starts must be between 1 and 4")
     t = np.asarray(t, float)
     m = np.asarray(m, float)
     sigma = np.asarray(sigma, float)

@@ -20,8 +20,15 @@ _LG10_EPS = 1e-30  # clipped_lg floor, mirrors transform.rs ClippedLg epsilon
 TRANSFORMS = {
     "identity": (lambda c: c, lambda x: x),
     "arcsinh": (lambda c: F.asinh(c), np.arcsinh),
-    "lg": (lambda c: F.log10(c), np.log10),
-    "ln1p": (lambda c: F.log1p(c), np.log1p),
+    # Spark log10/log1p return NULL out of domain while the numpy twins
+    # (and the reference) return -inf / NaN — the explicit branches keep
+    # the engine and oracle surfaces value-identical at the edges
+    "lg": (lambda c: F.when(c > 0, F.log10(c))
+           .when(c == 0, F.lit(float("-inf")))
+           .otherwise(F.lit(float("nan"))), np.log10),
+    "ln1p": (lambda c: F.when(c > -1, F.log1p(c))
+             .when(c == -1, F.lit(float("-inf")))
+             .otherwise(F.lit(float("nan"))), np.log1p),
     "sqrt": (lambda c: F.sqrt(c), np.sqrt),
     "clipped_lg": (
         lambda c: F.log10(F.greatest(c, F.lit(_LG10_EPS))),
@@ -30,9 +37,13 @@ TRANSFORMS = {
 }
 
 
-# per-feature default transforms, exactly as declared in the reference's
-# evaluator! registrations (transform=True picks these); all other features
-# default to identity:
+# per-feature default transforms, as declared in the reference's
+# evaluator! registrations (transform=True picks these).  DOCUMENTED
+# DIVERGENCE: the reference's FIT evaluators declare dedicated
+# transformers (BazinFit/LinexpFit/VillarFitTransformer,
+# features.rs:3497/3916/4889) that are NOT implemented here — fit
+# columns pass through identity under transforms='default'; all other
+# unlisted features default to identity in both engines:
 DEFAULT_TRANSFORMS = {
     "anderson_darling_normal": "lg",      # src/features.rs:3420-3424
     "eta_e": "lg",                        # src/features.rs:3825

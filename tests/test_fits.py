@@ -411,3 +411,65 @@ def test_rainbow_blanketed_planck():
                                    temperature="constant",
                                    spectral="planck")
     assert out_plain[-1] > 1.2 * got["r_chisq"]
+
+
+def test_review_fixes_fit_guards():
+    """Round-4 fits/transforms review regressions."""
+    import numpy as np
+    import pytest
+
+    from light_curve_python_spark.functions.fits import (
+        LnPrior,
+        villar_hosseinzadeh2020_priors,
+    )
+    from light_curve_python_spark.functions.kernels import make_kernel
+
+    # mix prior: log-sum-exp keeps the far tail finite (linear-space sum
+    # underflowed to -inf past ~-745)
+    mix = LnPrior.mix([(2 / 3, LnPrior.normal(5.0, 5.0)),
+                       (1 / 3, LnPrior.normal(60.0, 30.0))])
+    v = mix(1300.0)
+    assert np.isfinite(v) and v < -800
+
+    # hosseinzadeh2020 on sub-0.01 flux units: clear error, not a
+    # finite-chi2 garbage fit
+    t = np.linspace(0, 100, 50)
+    with pytest.raises(ValueError, match="flux units"):
+        villar_hosseinzadeh2020_priors(t, np.full(50, 1e-3))
+
+    # wrong-length init/bounds and inverted pairs fail at construction
+    with pytest.raises(ValueError, match="init needs 5"):
+        make_kernel("bazin_fit", init=[1, 2, 3])
+    with pytest.raises(ValueError, match="bounds needs 5"):
+        make_kernel("bazin_fit", bounds=[(0, 1), (0, 1)])
+    with pytest.raises(ValueError, match="inverted"):
+        make_kernel("bazin_fit",
+                    bounds=[(0, 1), (2, 1), (0, 1), (0, 1), (0, 1)])
+
+    # rainbow n_starts outside the deterministic 1..4 schedule
+    from light_curve_python_spark.functions.rainbow import (
+        rainbow_fit_arrays)
+    with pytest.raises(ValueError, match="n_starts"):
+        rainbow_fit_arrays(t, np.ones(50), np.full(50, 0.1),
+                           np.zeros(50, dtype=np.int64),
+                           np.array([4813.9e-8]), n_starts=0)
+
+
+def test_review_fixes_transform_domain_parity(spark):
+    """Spark lg/ln1p transform columns match numpy at domain edges
+    (-inf / NaN, not NULL)."""
+    import numpy as np
+
+    from light_curve_python_spark.functions.transforms import TRANSFORMS
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(0.0,), (-1.0,), (2.0,)], "x double")
+    for name, xs in (("lg", [0.0, -1.0, 2.0]), ("ln1p", [0.0, -1.0, 2.0])):
+        col_fn, np_fn = TRANSFORMS[name]
+        got = [r.y for r in df.select(col_fn(F.col("x")).alias("y"))
+               .collect()]
+        with np.errstate(all="ignore"):
+            want = [float(np_fn(x)) for x in xs]
+        for g, w in zip(got, want):
+            assert g is not None
+            assert (np.isnan(g) and np.isnan(w)) or g == w, (name, g, w)
