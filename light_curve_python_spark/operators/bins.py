@@ -39,7 +39,12 @@ def bin_series(obs: DataFrame, entity_col: str = "doc_id", t_col: str = "t",
         .groupBy(*keys, "_bin")
         .agg(
             (F.sum(F.col(m_col) * F.col("_w")) / F.sum("_w")).alias(m_col),
-            F.sqrt(F.count("*") / F.sum("_w")).alias(sigma_col),
+            # count only rows whose (m, w) actually entered the sums — a
+            # null sigma/m row would inflate new_sigma (count(*) counts
+            # it, the null-skipping sums do not)
+            F.sqrt(F.count(F.when(F.col(m_col).isNotNull()
+                                  & F.col("_w").isNotNull(), 1))
+                   / F.sum("_w")).alias(sigma_col),
         )
         .withColumn(
             t_col,

@@ -42,9 +42,12 @@ def random_projection_encoder(dim: int = 64, seed: int = 42) -> Callable:
     positions, plus coverage) -> seeded Gaussian random projection to
     ``dim`` -> the caller L2-normalizes.  Deterministic in (seed, dim)
     only — independent of partitioning or batch boundaries."""
+    # the projection is a pure function of (seed, dim): hoisted so it is
+    # built once per executor closure, not once per Arrow batch
+    proj = (np.random.default_rng(seed).normal(size=(_N_POOLED, dim))
+            / np.sqrt(dim))
+
     def encode(seqs: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        rng = np.random.default_rng(seed)
-        proj = rng.normal(size=(_N_POOLED, dim)) / np.sqrt(dim)
         x = seqs.astype(np.float64)
         m = mask.astype(np.float64)
         cnt = np.maximum(m.sum(axis=1), 1.0)
@@ -68,6 +71,12 @@ def embed_sequences(df: DataFrame, tokens_col: str = "tokens",
     """One L2-normalized embedding per row: reduction (reference
     ``Reduction`` strategies over the token array) -> batched encoder.
     All non-token columns pass through untouched."""
+    clash = {"_seq", "_mask", out_col} & set(df.columns)
+    if clash:
+        # the temp/output names would silently overwrite user columns
+        # that are then emitted under the ORIGINAL schema dtype
+        raise ValueError(f"column names reserved by embed_sequences: "
+                         f"{sorted(clash)}")
     enc = encoder if encoder is not None else random_projection_encoder(dim)
     reduced = reduce_sequence(df, arr_col=tokens_col, seq_size=seq_size,
                               strategy=strategy, id_col=id_col,

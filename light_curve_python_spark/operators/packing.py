@@ -83,15 +83,22 @@ def pack_tokens(df: DataFrame, block_tokens: int,
     partition's last).  Token arrays ride JVM slice/flatten only — no
     Python, byte-identical payload."""
     order_col = order_col or id_col
-    n_tok = F.size(tokens_col)
+    # NULL token arrays count as 0 tokens (F.size(NULL) = -1 would
+    # decrement the packing cumsum and shift EVERY later block by one)
+    n_tok = F.greatest(F.coalesce(F.size(tokens_col), F.lit(0)), F.lit(0))
     base = df.withColumn("_n_tok", n_tok)
     spans = pack_spans(base, block_tokens, n_tok_col="_n_tok",
                        id_col=id_col, partition_col=partition_col,
                        order_col=order_col)
     part_cols = [partition_col] if partition_col is not None else []
-    lookup = (df.select(id_col, order_col, tokens_col)
-              if order_col != id_col else df.select(id_col, tokens_col))
-    joined = spans.join(lookup, id_col)
+    # join back on (partition, id): a doc_id appearing under two
+    # partitions would otherwise match BOTH token rows and duplicate its
+    # slices into both partitions' blocks
+    lookup_cols = part_cols + ([id_col, order_col, tokens_col]
+                               if order_col != id_col
+                               else [id_col, tokens_col])
+    lookup = df.select(*lookup_cols)
+    joined = spans.join(lookup, part_cols + [id_col])
     piece = F.slice(F.col(tokens_col),
                     (F.col("tok_start") + 1).cast("int"),
                     (F.col("tok_end") - F.col("tok_start")).cast("int"))

@@ -29,11 +29,14 @@ __all__ = ["reduce_sequence", "non_overlapping_windows"]
 
 def _pad_and_mask(df: DataFrame, arr_col: str, seq_size: int,
                   out_col: str, mask_col: str) -> DataFrame:
-    n = F.size(arr_col)
+    # NULL arrays behave as empty: F.size(NULL) = -1 would otherwise make
+    # the mask seq_size+1 long and the padded sequence NULL, crashing the
+    # downstream Arrow/numpy stack mid-task
+    n = F.greatest(F.coalesce(F.size(arr_col), F.lit(0)), F.lit(0))
     elem_type = df.schema[arr_col].dataType.elementType.simpleString()
     zero = F.lit(0).cast(elem_type)
     padded = F.concat(
-        F.col(arr_col),
+        F.coalesce(F.col(arr_col), F.array().cast(f"array<{elem_type}>")),
         F.array_repeat(zero, F.greatest(F.lit(seq_size) - n, F.lit(0))))
     mask = F.concat(
         F.array_repeat(F.lit(True), F.least(n, F.lit(seq_size))),

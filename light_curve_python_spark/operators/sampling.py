@@ -35,7 +35,10 @@ def hash_sample(df: DataFrame, rates: Dict[str, float],
     independently.
 
     ``hash_fn`` swaps the hash (default: JVM ``xxhash64`` of the key and
-    seed — shuffle-free, whole-stage-codegen'd).  The DuckDB oracle twin
+    seed — shuffle-free, whole-stage-codegen'd).  NB: rows with a NULL
+    key all hash identically (xxhash64 skips null arguments), so the
+    entire null-key population is kept or dropped EN BLOC, not at the
+    stratum rate — validate key completeness upstream.  The DuckDB oracle twin
     passes a modular-arithmetic hash both engines compute integer-exactly
     (the same oracle-only device as the minhash queries)."""
     if hash_fn is None:

@@ -15,8 +15,7 @@ from pyspark.sql import functions as F
 __all__ = ["sessionize", "session_stats"]
 
 
-def _keys(on):
-    return [on] if isinstance(on, str) else list(on)
+from .windows import _keys  # shared key normalizer  # noqa: E402
 
 
 def sessionize(df: DataFrame, on, ts_col: str, gap: float,

@@ -21,13 +21,26 @@ __all__ = ["with_lag_lead", "backfill", "rolling_range_agg", "with_diffs"]
 
 
 def _keys(on) -> list:
+    """Normalize a key spec to a list — shared with sessionize.py."""
     return [on] if isinstance(on, str) else list(on)
 
 
+def _order(order_by, tiebreak_cols) -> list:
+    """Window ordering with an optional deterministic tiebreak: with
+    duplicate ``order_by`` values and no tiebreak, lag/lead/fill results
+    depend on shuffle arrival order — different runs (and task retries)
+    may disagree.  Callers whose order key can tie should pass a
+    unique(-enough) column."""
+    return [F.col(order_by).asc()] + [F.col(c).asc()
+                                      for c in (tiebreak_cols or ())]
+
+
 def with_lag_lead(df: DataFrame, on, order_by: str,
-                  cols: Sequence[str], offsets: Sequence[int] = (1,)) -> DataFrame:
+                  cols: Sequence[str], offsets: Sequence[int] = (1,),
+                  tiebreak_cols: Sequence[str] = ()) -> DataFrame:
     """Adds ``{col}_lag_{k}`` and ``{col}_lead_{k}`` per offset."""
-    w = Window.partitionBy(*_keys(on)).orderBy(F.col(order_by).asc())
+    w = Window.partitionBy(*_keys(on)).orderBy(
+        *_order(order_by, tiebreak_cols))
     for c in cols:
         for k in offsets:
             df = df.withColumn(f"{c}_lag_{k}", F.lag(c, k).over(w))
@@ -36,23 +49,27 @@ def with_lag_lead(df: DataFrame, on, order_by: str,
 
 
 def with_diffs(df: DataFrame, on, order_by: str,
-               cols: Sequence[str]) -> DataFrame:
+               cols: Sequence[str],
+               tiebreak_cols: Sequence[str] = ()) -> DataFrame:
     """Adds ``{col}_diff`` = value − previous value (consecutive-pair op)."""
-    w = Window.partitionBy(*_keys(on)).orderBy(F.col(order_by).asc())
+    w = Window.partitionBy(*_keys(on)).orderBy(
+        *_order(order_by, tiebreak_cols))
     for c in cols:
         df = df.withColumn(f"{c}_diff", F.col(c) - F.lag(c, 1).over(w))
     return df
 
 
 def backfill(df: DataFrame, on, order_by: str, cols: Sequence[str],
-             direction: str = "ffill") -> DataFrame:
+             direction: str = "ffill",
+             tiebreak_cols: Sequence[str] = ()) -> DataFrame:
     """Fill nulls from the latest prior non-null ('ffill') or the next
     non-null ('bfill') within each key, ordered by ``order_by``.
 
     ffill is the leakage-safe direction for training features (only past
     values flow forward); bfill is provided for label alignment.
     """
-    base = Window.partitionBy(*_keys(on)).orderBy(F.col(order_by).asc())
+    base = Window.partitionBy(*_keys(on)).orderBy(
+        *_order(order_by, tiebreak_cols))
     if direction == "ffill":
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
@@ -92,8 +109,10 @@ def rolling_range_agg(df: DataFrame, on, order_by: str,
                           window_range=(-3600, 0))
     """
     lo, hi = window_range
-    keys = ", ".join(_keys(on))
-    frame = (f"PARTITION BY {keys} ORDER BY {order_by} ASC "
+    # backtick-quote identifiers: raw interpolation fails on reserved
+    # words or names with spaces, unlike the Column-API operators above
+    keys = ", ".join(f"`{k}`" for k in _keys(on))
+    frame = (f"PARTITION BY {keys} ORDER BY `{order_by}` ASC "
              f"RANGE BETWEEN {_bound(lo, True)} AND {_bound(hi, False)}")
     for name, agg_sql in aggs.items():
         df = df.withColumn(name, F.expr(f"{agg_sql} OVER ({frame})"))

@@ -597,3 +597,56 @@ def test_repetition_signals(spark):
         else:
             assert r.top_ngram_char_frac == 0.0
             assert r.dup_ngram_char_frac == 0.0
+
+
+def test_review_fixes_null_tokens_and_packing(spark):
+    """Round-4 final review regressions: NULL token arrays behave as
+    empty (no cumsum poisoning, no Arrow crash); pack_tokens keys the
+    token join on (partition, id); bins excludes null-weight rows from
+    the count; embed rejects reserved column names."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from light_curve_python_spark.operators.bins import bin_series
+    from light_curve_python_spark.operators.embed import embed_sequences
+    from light_curve_python_spark.operators.packing import pack_tokens
+    from light_curve_python_spark.operators.reductions import (
+        reduce_sequence)
+
+    docs = spark.createDataFrame(
+        [(1, "A", [1, 2, 3]), (2, "A", None), (3, "A", [4, 5]),
+         (3, "B", [6, 7, 8])],
+        "doc_id long, source string, tokens array<int>")
+
+    # NULL tokens: reduce emits an all-padding masked row, not a crash
+    red = reduce_sequence(docs, seq_size=4).collect()
+    r2 = next(r for r in red if r.doc_id == 2 and r.source == "A")
+    assert r2.sequence == [0, 0, 0, 0] and r2.mask == [False] * 4
+
+    # packing: null row contributes 0 tokens; doc 3 exists in BOTH
+    # sources — each source's blocks contain only its own tokens
+    blocks = sorted(pack_tokens(docs, block_tokens=3).collect(),
+                    key=lambda b: (b.source, b.block_id))
+    by_src = {}
+    for b in blocks:
+        by_src.setdefault(b.source, []).extend(b.tokens)
+    assert by_src["A"] == [1, 2, 3, 4, 5]
+    assert by_src["B"] == [6, 7, 8]
+
+    # embed: NULL tokens row encodes (zero-mask) instead of crashing
+    emb = embed_sequences(docs, seq_size=4, dim=8).collect()
+    assert len(emb) == 4
+    assert all(len(r.embedding) == 8 for r in emb)
+    with pytest.raises(ValueError, match="reserved"):
+        embed_sequences(docs.withColumn("_mask", F.lit(1)))
+
+    # bins: a null-sigma row is excluded from the count AND the sums
+    obs = spark.createDataFrame(
+        [("a", 0.1, 1.0, 0.1), ("a", 0.2, 2.0, None),
+         ("a", 0.3, 3.0, 0.1)],
+        "doc_id string, t double, m double, sigma double")
+    row = bin_series(obs, "doc_id", window=1.0).collect()[0]
+    w = 0.1 ** -2
+    assert row.m == pytest.approx((1.0 * w + 3.0 * w) / (2 * w))
+    assert row.sigma == pytest.approx(np.sqrt(2 / (2 * w)))
