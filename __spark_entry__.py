@@ -2566,8 +2566,8 @@ WITH d AS (
          len(list_filter(regexp_split_to_array(text, '\\s+'),
                          x -> x <> '')) AS n_tok
   FROM documents),
-c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
-               - n_tok AS prev
+c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tok AS BIGINT) AS prev
       FROM d)
 SELECT source, doc_id, b AS block_id,
   greatest(b * {PACK_BLOCK} - prev, 0) AS tok_start,
@@ -2705,8 +2705,8 @@ d AS (
          len(list_filter(regexp_split_to_array(text, '\\s+'),
                          x -> x <> '')) AS n_tok
   FROM sampled),
-c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
-               - n_tok AS prev
+c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tok AS BIGINT) AS prev
       FROM d)
 SELECT source, doc_id, b AS block_id,
   greatest(b * {PACK_BLOCK} - prev, 0) AS tok_start,

@@ -5,6 +5,7 @@ compare row count, column set, and values (order-insensitive).
 Uses sf0.001 for speed; the driver runs the same comparison at sf0.01.
 """
 
+import hashlib
 import math
 
 import duckdb
@@ -34,6 +35,27 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                 lambda v: tuple(np.asarray(v, dtype=np.float64).round(6)))
     return df.sort_values(list(df.columns), na_position="first") \
         .reset_index(drop=True)
+
+
+def _cell_str(v):
+    if isinstance(v, (list, np.ndarray, tuple)):
+        return "[" + ",".join(_cell_str(x) for x in v) + "]"
+    return str(v)
+
+
+def _digest(pdf: pd.DataFrame) -> str:
+    """Driver-faithful value hash: sort columns by name, stringify every
+    cell WITHOUT dtype coercion (so int64 32 != float64 32.0), sort the
+    stringified rows, md5 the lot.  This is the check that catches
+    oracle-twin dtype skews (e.g. DuckDB HUGEINT window sums rendering as
+    float64) that a numeric np.isclose compare is blind to — exactly how
+    the r4 pack_spans/pipeline_e2e rows shipped red at the driver while
+    green locally."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = sorted(
+        "\x1f".join(_cell_str(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None))
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
 
 def _compare(name, spark_pdf, duck_pdf):
@@ -83,6 +105,10 @@ def test_query_vs_oracle(spark, sf_dir, name):
     # closeness — surface drift as a hard failure so it gets fixed here
     assert exact_mismatch == 0, \
         f"{name}: {exact_mismatch} values differ in last-ulp after rounding"
+    assert _digest(spark_pdf) == _digest(duck_pdf), \
+        f"{name}: stringified-row digest mismatch (dtype skew between " \
+        f"Spark result and oracle twin — values may be numerically equal " \
+        f"but render differently, which fails the driver hash gate)"
 
 
 def test_entry_smoke(spark):
