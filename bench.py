@@ -290,6 +290,52 @@ def _headline_queries(spark, obs_path, probes_path):
     }
 
 
+def _jaccard_skew_bench(spark) -> dict:
+    """Default-cap evidence for ngram_jaccard_pairs on a SKEWED corpus:
+    every doc shares a hot 12-word template (10 shingles with df = n_docs),
+    the regime where the exact inverted index is quadratic in the hot df.
+    Times the bounded default (max_shingle_df=256) against exact opt-out
+    (None) on the same corpus; both must find the planted near-dup pair,
+    which survives the prune through its rare shingles with its EXACT
+    full-set jaccard (the recount path)."""
+    from pyspark.sql import functions as F
+
+    from light_curve_python_spark.operators.dedup import ngram_jaccard_pairs
+    n = 6000
+    tpl = " ".join(f"tpl{i}" for i in range(12))
+    rows = [(i, f"{tpl} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+            for i in range(n)]
+    dup = "dupa dupb dupc dupd dupe dupf dupg duph"
+    rows += [(n, f"{tpl} {dup}"), (n + 1, f"{tpl} {dup}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(32).cache()
+    docs.count()
+
+    def run(cap, cutoff=None):
+        # cutoff keeps the first `cutoff` template docs + the planted pair
+        d = docs if cutoff is None else docs.filter(
+            (F.col("doc_id") < cutoff) | (F.col("doc_id") >= n))
+        t0 = time.perf_counter()
+        out = ngram_jaccard_pairs(d, k=3, threshold=0.8,
+                                  max_shingle_df=cap).collect()
+        return time.perf_counter() - t0, out
+
+    run(256, 100), run(None, 100)            # codegen/worker warmup
+    bounded_sec, bounded = run(256)          # the default, full corpus
+    # exact opt-out at HALF the hot df only: it is quadratic in hot df
+    # (measured once at full size: 112 s vs bounded 2.6 s) and would
+    # dominate the whole bench run; half-df already shows the blow-up
+    exact_sec, exact = run(None, n // 2)
+    planted = {(n, n + 1)}
+    assert {(r.id_a, r.id_b) for r in bounded} == planted, bounded
+    assert {(r.id_a, r.id_b) for r in exact} == planted, exact
+    assert abs(bounded[0].jaccard - 1.0) < 1e-12  # full-set, via recount
+    return {"n_docs": n + 2, "hot_shingle_df": n,
+            "bounded_sec": round(bounded_sec, 3),
+            "exact_opt_out": {"hot_shingle_df": n // 2,
+                              "sec": round(exact_sec, 3)}}
+
+
 def _lsh_recall(spark) -> dict:
     """recall@k of both approximate ANN paths vs the exact baseline.
     The synthetic corpus's true top-k lives at cosine ~0.26-0.37 (weakly
@@ -382,6 +428,9 @@ def main():
     # baseline on the same probes (driver-side set compare over k*probes
     # rows — measurement harness only, not a pipeline collect)
     extras["lsh_recall_at_k"] = _lsh_recall(spark)
+    # default-bounded ngram-jaccard on a synthetic skewed corpus (hot
+    # template shingles) — the scale contract behind the 256 default
+    extras["ngram_jaccard_bounded"] = _jaccard_skew_bench(spark)
     spark.stop()
 
     extras["feature_vectors_per_sec"] = round(

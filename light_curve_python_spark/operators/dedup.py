@@ -309,18 +309,20 @@ def dedup_groups(pairs: DataFrame, nodes: DataFrame, node_col: str,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: Optional[int] = None) -> DataFrame:
-    """Jaccard >= threshold pairs via an inverted shingle index, optionally
-    df-PRUNED: surviving pairs carry their EXACT full-set Jaccard, but with
-    ``max_shingle_df`` set, a pair whose every shared shingle is hotter than
-    the cap generates no candidate and is missed — notably >cap
-    near-identical copies of one template (exact copies of it are still
-    caught by ``exact_dedup``).
+                        max_shingle_df: Optional[int] = 256) -> DataFrame:
+    """Jaccard >= threshold pairs via an inverted shingle index, df-PRUNED
+    BY DEFAULT: surviving pairs carry their EXACT full-set Jaccard (the
+    recount path below), but a pair whose every shared shingle is hotter
+    than ``max_shingle_df`` generates no candidate and is missed — notably
+    >cap near-identical copies of one template (exact copies of it are
+    still caught by ``exact_dedup``).
 
-    The default (None) keeps the candidate set an exact superset — the
-    historical API contract — which is only safe on small/clean corpora: at
-    scale, PASS ``max_shingle_df`` (production call sites here use 256).
-    A shingle shared by d documents
+    The default cap of 256 is the scale-safe contract: without it the
+    candidate join is quadratic in the hottest shingle's document
+    frequency, which is a cluster-killer on any real corpus (one stopword
+    k-gram is enough).  Pass ``max_shingle_df=None`` to opt out and get
+    the exact-superset candidate set — only safe on small/clean corpora
+    whose df distribution you have checked.  A shingle shared by d documents
     contributes d*(d-1)/2 candidate pairs, so one stopword shingle in a real
     corpus makes the join quadratic.  Dropping shingles with document
     frequency > cap bounds the per-shingle fan-out at cap^2 while candidates
