@@ -1248,6 +1248,63 @@ GROUP BY user_id, dt_bin, dm_bin
 SQL_DMDT = _sql_dmdt()
 
 
+ERODE = dict(drop_nobs=0.25, seed=42)
+
+
+def q_dmdt_eroded(spark, sf_dir):
+    """The reference's points_batches drop_nobs contract as a first-class
+    operator (src/dmdt.rs:440-530): per-curve uniform sample-without-
+    replacement erosion (drop round(0.25*n) obs), then the dmdt map on the
+    survivors.  Deterministic md5-rank erosion instead of seeded rand() —
+    retry/partitioning-stable AND exactly reproducible in the DuckDB twin,
+    so this randomized op gets a full hash-gated oracle row."""
+    from light_curve_python_spark.operators.dmdt import (dmdt_points_sql,
+                                                         erode_observations)
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "t", "m")
+    eroded = erode_observations(ev, "user_id", key_cols=["event_id"],
+                                **ERODE)
+    return dmdt_points_sql(eroded, entity="user_id", **DMDT,
+                           dm_edges=_dmdt_dm_edges())
+
+
+def _sql_dmdt_eroded():
+    # the erosion CTE chain + the SQL_DMDT tail over the eroded set
+    from light_curve_python_spark.operators.dmdt import (edge_bin_sql,
+                                                         sql_double_lit)
+    lg_step = sql_double_lit(
+        (DMDT['lgdt_max'] - DMDT['lgdt_min']) / DMDT['n_dt'])
+    lg_min = sql_double_lit(DMDT['lgdt_min'])
+    return f"""
+WITH ev AS ({EV_SQL}),
+h AS (SELECT user_id, event_id, t, m,
+        md5('{ERODE['seed']}:' || CAST(user_id AS VARCHAR) || ':'
+            || CAST(event_id AS VARCHAR)) AS _h,
+        count(*) OVER (PARTITION BY user_id) AS _n
+      FROM ev),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY _h, event_id) AS _rk
+      FROM h),
+er AS (SELECT user_id, t, m FROM r
+       WHERE _rk <= _n - CAST(round({ERODE['drop_nobs']} * _n) AS BIGINT)),
+pairs AS (SELECT a.user_id, b.t - a.t AS dt, b.m - a.m AS dm
+          FROM er a JOIN er b
+            ON a.user_id = b.user_id AND b.t > a.t),
+binned AS (SELECT user_id,
+    floor((log10(dt) - ({lg_min})) / {lg_step}) AS dt_bin,
+    {edge_bin_sql('dm', _dmdt_dm_edges())} AS dm_bin
+  FROM pairs)
+SELECT user_id, CAST(dt_bin AS BIGINT) AS dt_bin,
+       CAST(dm_bin AS BIGINT) AS dm_bin, count(*) AS pair_count
+FROM binned
+WHERE dt_bin >= 0 AND dt_bin < {DMDT['n_dt']}
+  AND dm_bin >= 0 AND dm_bin < {_DMDT_N_DM}
+GROUP BY user_id, dt_bin, dm_bin
+"""
+
+
+SQL_DMDT_ERODED = _sql_dmdt_eroded()
+
+
 def _seq_exploded(out, extra=()):
     """Canonical hashable form for sequence-reduction oracle rows: one
     (id, pos, tok) row per element — the driver's canonicalizer sorts and
@@ -2854,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dmdt_gausses": q_dmdt_gausses,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "repetition_signals": q_repetition_signals,
+        "dmdt_eroded": q_dmdt_eroded,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
 
@@ -2921,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         "dmdt_gausses": _sql_dmdt_gausses(),
         "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
         "repetition_signals": SQL_REPETITION,
+        "dmdt_eroded": SQL_DMDT_ERODED,
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)
     return {k: v.replace("ROUND(", f"ROUND({EPS_ROUND} + ")

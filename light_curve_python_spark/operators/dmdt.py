@@ -25,7 +25,7 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.special import erf
@@ -34,7 +34,7 @@ __all__ = ["log_dt_edges", "linear_edges", "asinh_edges", "grid_edges",
            "from_borders", "dmdt_points_kernel",
            "dmdt_gausses_kernel", "count_dt_kernel", "normalize_dmdt",
            "dmdt_points_sql", "count_dt_sql", "edge_bin_expr",
-           "edge_bin_sql", "sql_double_lit"]
+           "edge_bin_sql", "sql_double_lit", "erode_observations"]
 
 
 def log_dt_edges(min_lgdt: float, max_lgdt: float, n: int) -> np.ndarray:
@@ -294,3 +294,70 @@ def count_dt_sql(obs: DataFrame, entity: str = "doc_id", t: str = "t",
             .filter((F.col("dt_bin") >= 0) & (F.col("dt_bin") < n_dt))
             .groupBy(F.col("_e").alias(entity), "dt_bin")
             .agg(F.count("*").alias("pair_count")))
+
+
+def erode_observations(df: DataFrame, entity_col: str = "doc_id",
+                       drop_nobs=0.0, seed: int = 0,
+                       key_cols: Optional[Sequence[str]] = None,
+                       on_short: str = "error") -> DataFrame:
+    """Per-entity random observation erosion — the Spark mapping of the
+    reference's ``points_batches``/``gausses_batches`` ``drop_nobs``
+    contract (src/dmdt.rs:440-530 ``dropped_index``: per curve drop ``x``
+    observations (int form) or ``round(x * n)`` (float in [0, 1)),
+    sampled uniformly WITHOUT replacement; survivors keep time order;
+    dropping >= n raises).
+
+    Instead of a seeded ``rand()`` column (nondeterministic under task
+    retry and partition re-planning), every row gets a deterministic
+    pseudo-random rank ``md5(seed:entity:key)``.  Ranking iid hash values
+    is a uniform random permutation of each curve, so keeping the
+    ``n - drop`` smallest ranks is exactly a uniform sample without
+    replacement — reproducible across engines (DuckDB computes the
+    identical md5/rank), across retries, and across partitionings.
+    Different ``seed`` values give independent erosions, which is the
+    batches-iterator use case: one erosion per training epoch.
+
+    ``key_cols`` must identify a row within its entity (default: every
+    non-entity column).  Integer/string keys hash identically in any
+    engine; float keys are formatted via their shortest repr (Spark
+    CAST to STRING), exact for round-trip but engine-specific in corner
+    cases — prefer an id column for cross-engine oracles.
+
+    ``on_short``: 'error' raises (the reference contract) when
+    ``drop >= n`` for some entity; 'skip' silently drops those entities
+    (the corpus-scale convenience, where one short curve must not kill
+    a 1000-executor job).
+    """
+    if isinstance(drop_nobs, float) and not 0.0 <= drop_nobs < 1.0:
+        raise ValueError("if drop_nobs is float, it must be in [0.0, 1.0)")
+    if isinstance(drop_nobs, int) and drop_nobs < 0:
+        raise ValueError("drop_nobs must be >= 0")
+    if on_short not in ("error", "skip"):
+        raise ValueError("on_short must be 'error' or 'skip'")
+    keys = list(key_cols) if key_cols is not None else \
+        [c for c in df.columns if c != entity_col]
+    h = F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.col(entity_col).cast("string"),
+        *[F.col(k).cast("string") for k in keys]))
+    w = Window.partitionBy(entity_col)
+    n = F.count(F.lit(1)).over(w)
+    rk = F.row_number().over(
+        w.orderBy(h, *[F.col(k) for k in keys]))
+    if isinstance(drop_nobs, int):
+        drop = F.lit(drop_nobs)
+    else:
+        # f64::round is round-half-away-from-zero; Spark/DuckDB round()
+        # agree for non-negative arguments
+        drop = F.round(F.lit(drop_nobs) * n).cast("long")
+    if on_short == "error":
+        # assert_true must sit INSIDE the surviving predicate so Catalyst
+        # cannot prune it; it yields NULL on pass, so wrap in coalesce
+        guard = F.coalesce(
+            F.assert_true(drop < n, F.format_string(
+                "cannot drop %d observations from light curve "
+                "containing %d points", drop, n)).cast("boolean"),
+            F.lit(True))
+        keep = guard & (rk <= n - drop)
+    else:
+        keep = (drop < n) & (rk <= n - drop)
+    return (df.withColumn("_keep", keep).filter("_keep").drop("_keep"))

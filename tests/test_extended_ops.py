@@ -340,3 +340,108 @@ def test_dmdt_sql_arbitrary_edges_match_kernel(spark, obs):
         for _, r in sub.iterrows():
             dense[int(r.dt_bin), int(r.dm_bin)] = r.pair_count
         np.testing.assert_array_equal(dense, want)
+
+
+# --- observation erosion (the batches drop_nobs contract, dmdt.rs:440-530) --
+
+
+def _erode_df(spark, n_entities=4, n_obs=10):
+    rows = [(e, float(i), float(e * 100 + i))
+            for e in range(n_entities) for i in range(n_obs)]
+    return spark.createDataFrame(rows, "doc_id long, t double, m double")
+
+
+def test_erode_exact_count_order_and_determinism(spark):
+    from light_curve_python_spark.operators.dmdt import erode_observations
+    df = _erode_df(spark, 4, 10)
+    out = erode_observations(df, "doc_id", drop_nobs=3, seed=7) \
+        .toPandas().sort_values(["doc_id", "t"])
+    assert (out.groupby("doc_id").size() == 7).all()
+    # survivors keep time order and are a subsequence of the original
+    for e, g in out.groupby("doc_id"):
+        assert list(g.t) == sorted(g.t)
+        assert set(g.t) <= set(np.arange(10.0))
+    # deterministic: identical rerun, partitioning-independent
+    again = erode_observations(df.repartition(7), "doc_id",
+                               drop_nobs=3, seed=7) \
+        .toPandas().sort_values(["doc_id", "t"])
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  again.reset_index(drop=True))
+    # a different seed erodes differently (4 curves x C(10,3) subsets:
+    # collision chance ~1e-8)
+    other = erode_observations(df, "doc_id", drop_nobs=3, seed=8).toPandas()
+    assert set(map(tuple, other[["doc_id", "t"]].to_numpy())) != \
+        set(map(tuple, out[["doc_id", "t"]].to_numpy()))
+
+
+def test_erode_float_fraction_rounds_like_reference(spark):
+    from light_curve_python_spark.operators.dmdt import erode_observations
+    # round(0.25 * 10) = round(2.5) = 3 (half-away-from-zero, f64::round)
+    out = erode_observations(_erode_df(spark, 2, 10), "doc_id",
+                             drop_nobs=0.25, seed=1).toPandas()
+    assert (out.groupby("doc_id").size() == 7).all()
+    # drop 0 is the identity (reference maps Int(0)/0.0 to no dropping)
+    df = _erode_df(spark, 2, 5)
+    for zero in (0, 0.0):
+        got = erode_observations(df, "doc_id", drop_nobs=zero) \
+            .toPandas().sort_values(["doc_id", "t"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, df.toPandas().sort_values(["doc_id", "t"])
+            .reset_index(drop=True))
+
+
+def test_erode_validation_and_short_curves(spark):
+    from light_curve_python_spark.operators.dmdt import erode_observations
+    df = _erode_df(spark, 2, 4)
+    with pytest.raises(ValueError, match=r"\[0\.0, 1\.0\)"):
+        erode_observations(df, "doc_id", drop_nobs=1.0)
+    with pytest.raises(ValueError, match=">= 0"):
+        erode_observations(df, "doc_id", drop_nobs=-1)
+    # the reference raises when drop >= n (dmdt.rs:506-510)
+    with pytest.raises(Exception, match="cannot drop"):
+        erode_observations(df, "doc_id", drop_nobs=4).collect()
+    # corpus-scale convenience: skip short curves instead of failing the job
+    kept = erode_observations(df, "doc_id", drop_nobs=4,
+                              on_short="skip").count()
+    assert kept == 0
+    assert erode_observations(df, "doc_id", drop_nobs=3,
+                              on_short="skip").count() == 2
+
+
+def test_erode_is_uniform_without_replacement(spark):
+    """Distributional equivalence with the reference's dropped_index
+    (uniform sample without replacement): over many entities (independent
+    hash draws), each observation position survives with probability
+    (n - drop)/n.  400 identical 10-obs curves, drop 4 -> expected
+    retention 240 per position, sd = sqrt(400*0.6*0.4) ~ 9.8; assert
+    within 5 sd.  Exact per-curve count is already asserted above, and
+    ranking iid hashes is a uniform permutation, so marginal uniformity +
+    exact count pin the without-replacement law."""
+    from light_curve_python_spark.operators.dmdt import erode_observations
+    df = _erode_df(spark, 400, 10)
+    out = erode_observations(df, "doc_id", drop_nobs=4, seed=3).toPandas()
+    per_pos = out.groupby("t").size()
+    assert len(per_pos) == 10
+    assert ((per_pos - 240).abs() < 49).all(), per_pos.to_dict()
+
+
+def test_erode_composes_with_dmdt_kernel(spark):
+    """Eroded curve -> dmdt map == numpy kernel on the eroded arrays (the
+    points_batches composition: per-epoch erosion feeding the map)."""
+    from light_curve_python_spark.operators.dmdt import erode_observations
+    df = _erode_df(spark, 3, 12)
+    eroded = erode_observations(df, "doc_id", drop_nobs=0.25, seed=11)
+    dt_edges = log_dt_edges(-1.0, 1.2, 6)
+    dm_edges = linear_edges(-400.0, 400.0, 8)
+    got = dmdt_points_sql(eroded, entity="doc_id",
+                          dt_edges=list(dt_edges), dm_edges=list(dm_edges)) \
+        .toPandas()
+    pdf = eroded.toPandas().sort_values(["doc_id", "t"])
+    for e, grp in pdf.groupby("doc_id"):
+        want = dmdt_points_kernel(grp.t.to_numpy(), grp.m.to_numpy(),
+                                  dt_edges, dm_edges)
+        sub = got[got.doc_id == e]
+        dense = np.zeros_like(want)
+        dense[sub.dt_bin.to_numpy(), sub.dm_bin.to_numpy()] = \
+            sub.pair_count.to_numpy()
+        np.testing.assert_array_equal(dense, want)
