@@ -431,6 +431,18 @@ def main():
     # default-bounded ngram-jaccard on a synthetic skewed corpus (hot
     # template shingles) — the scale contract behind the 256 default
     extras["ngram_jaccard_bounded"] = _jaccard_skew_bench(spark)
+    # auto-tuned ANN operating point for target recall 0.9, measured on a
+    # 50-probe sample vs the exact baseline; `ladder` is the whole
+    # measured operating curve.  On this weakly-clustered corpus (top-k
+    # cosine ~0.3) hitting 0.9 honestly costs ~1 exact-scan equivalent —
+    # the tuner reports that rather than shipping silent quality loss
+    from light_curve_python_spark.operators.similarity import tune_ann
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding").cache()
+    extras["ann_autotune"] = tune_ann(emb, emb, k=ANN_K,
+                                      target_recall=0.9,
+                                      n_sample_probes=50, dim=64)
+    emb.unpersist()
     spark.stop()
 
     extras["feature_vectors_per_sec"] = round(

@@ -8,6 +8,10 @@
   literals), signatures computed with a vectorized pandas UDF (one matmul per
   Arrow batch), candidates restricted to matching buckets, then exact cosine
   re-rank.  Recall is tunable via n_planes/n_tables.
+- tune_ann: picks the cheapest (lsh or ivf) operating point meeting a
+  target recall, measured on a probe sample against the exact baseline;
+  falls back to recommending the exact path when no approximate point
+  under the cost cap reaches the target.
 """
 
 from __future__ import annotations
@@ -21,7 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "with_l2_norm"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "with_l2_norm",
+           "ivf_train_centers", "ann_recall", "tune_ann"]
 
 
 def _dot(a, b):
@@ -58,19 +63,13 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
             .select("probe_id", "rank", "neighbor_id", "cosine"))
 
 
-def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             n_cells: int = 16, n_probe_cells: int = 3,
-             seed: int = 42, sample_fraction: float = 1.0) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
-    (pyspark.ml, trained on a corpus sample), corpus rows assigned to their
-    nearest cell, probe rows search only their ``n_probe_cells`` nearest
-    cells, exact cosine re-rank inside.
-
-    Scale shape: the quantizer is tiny (n_cells centroids broadcast in the
-    assignment join); the search join hits ~n_probe_cells/n_cells of the
-    corpus instead of all of it.
-    """
+def ivf_train_centers(corpus: DataFrame, vec_col: str = "embedding",
+                      n_cells: int = 16, seed: int = 42,
+                      sample_fraction: float = 1.0) -> np.ndarray:
+    """Train the IVF coarse quantizer once (KMeans on a corpus sample) and
+    return its (n_cells, dim) centroid matrix — reusable across
+    ``ivf_topk`` calls with different ``n_probe_cells`` (the tuning
+    ladder never retrains)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -79,7 +78,30 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     if sample_fraction < 1.0:
         train = train.sample(sample_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, featuresCol="_fv").fit(train)
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+
+def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, n_probe_cells: int = 3,
+             seed: int = 42, sample_fraction: float = 1.0,
+             centers: Optional[np.ndarray] = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
+    (pyspark.ml, trained on a corpus sample), corpus rows assigned to their
+    nearest cell, probe rows search only their ``n_probe_cells`` nearest
+    cells, exact cosine re-rank inside.
+
+    Scale shape: the quantizer is tiny (n_cells centroids broadcast in the
+    assignment join); the search join hits ~n_probe_cells/n_cells of the
+    corpus instead of all of it.  Pass ``centers`` (from
+    ``ivf_train_centers``) to skip training.
+    """
+    if centers is None:
+        centers = ivf_train_centers(corpus, vec_col, n_cells, seed,
+                                    sample_fraction)
+    else:
+        centers = np.asarray(centers, dtype=np.float64)
+        n_cells = len(centers)
 
     def _cells(df, vec_alias, n_keep):
         """attach the n_keep nearest cell ids per row (tiny centroid matrix
@@ -181,3 +203,106 @@ def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(pick))
             .filter(F.col("rank") <= k)
             .select("probe_id", "rank", "neighbor_id", "cosine"))
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """recall@k of an approximate top-k result against the exact baseline:
+    mean over probes of |approx ∩ exact| / k.  Probes the approximate path
+    returned nothing for count as recall 0 (left join from the exact probe
+    set).  Distributed compute, collects ONE scalar."""
+    hits = (approx.select("probe_id", "neighbor_id")
+            .join(exact.select("probe_id", "neighbor_id"),
+                  ["probe_id", "neighbor_id"])
+            .groupBy("probe_id").agg(F.count("*").alias("_h")))
+    per_probe = (exact.select("probe_id").distinct()
+                 .join(hits, "probe_id", "left")
+                 .select((F.coalesce(F.col("_h"), F.lit(0)) / F.lit(k))
+                         .alias("_r")))
+    return float(per_probe.agg(F.avg("_r")).collect()[0][0])
+
+
+# (est. cost multiple, n_planes, n_tables): cost ≈ n_tables / 2^n_planes of
+# one exact corpus scan, assuming balanced buckets — ordered cheap→dear
+_LSH_LADDER = [(8, 2), (8, 4), (6, 4), (6, 8), (4, 8), (4, 16),
+               (3, 16), (2, 8), (2, 16)]
+
+
+def tune_ann(corpus: DataFrame, probes: DataFrame, k: int = 10,
+             target_recall: float = 0.9, n_sample_probes: int = 50,
+             dim: int = 64, seed: int = 42, max_cost: float = 1.0,
+             lsh_ladder=None, ivf_cells: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
+    """Pick an ANN operating point that meets ``target_recall``, measured
+    on a deterministic probe sample against the exact baseline — the
+    quality knob for the 100-TB path, where the full exact baseline is
+    unaffordable but a 50-probe sample of it is one broadcast scan.
+
+    Walks the LSH ladder (cheap→dear by estimated cost = n_tables /
+    2^n_planes scans) and the IVF probe-cell ladder (cost = n_probe_cells /
+    n_cells, quantizer trained ONCE via ``ivf_train_centers``), measuring
+    recall@k on the sample each step; returns the first (cheapest) point
+    meeting the target.  If no approximate point with estimated cost ≤
+    ``max_cost`` reaches the target, HONESTLY recommends the exact path
+    (method='exact', cost 1.0, recall 1.0) — on weakly-clustered corpora
+    (top-k cosine ~0.3, θ≈70°) hyperplane LSH needs ≥1 full-scan-equivalent
+    to hit 0.9 and pretending otherwise would ship silent quality loss.
+
+    Returns {method, params, recall_sample, est_cost_multiple,
+    n_sample_probes, k, ladder} where ladder is every point measured
+    (operating curve for the caller's record)."""
+    sample = (probes.orderBy(F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.col(id_col).cast("string"))))
+        .limit(n_sample_probes).cache())
+    exact = cosine_topk(corpus, sample, k, vec_col, id_col).cache()
+    exact.count()
+
+    measured = []
+
+    def consider(method, params, est_cost, approx_df):
+        r = ann_recall(approx_df, exact, k)
+        measured.append({"method": method, "params": params,
+                         "recall_sample": round(r, 3),
+                         "est_cost_multiple": round(est_cost, 3)})
+        return r
+
+    candidates = []
+    for n_planes, n_tables in (lsh_ladder or _LSH_LADDER):
+        cost = n_tables / 2.0 ** n_planes
+        if cost <= max_cost:
+            candidates.append((cost, "lsh",
+                               dict(n_planes=n_planes, n_tables=n_tables)))
+    centers = None
+    for n_probe_cells in (1, 2, 4, 8, ivf_cells):
+        if n_probe_cells > ivf_cells:
+            continue
+        cost = n_probe_cells / float(ivf_cells)
+        if cost <= max_cost:
+            candidates.append((cost, "ivf",
+                               dict(n_cells=ivf_cells,
+                                    n_probe_cells=n_probe_cells)))
+    for cost, method, params in sorted(candidates, key=lambda c: c[0]):
+        if method == "lsh":
+            approx = lsh_topk(corpus, sample, k, vec_col, id_col,
+                              dim=dim, seed=seed, **params)
+        else:
+            if centers is None:
+                centers = ivf_train_centers(corpus, vec_col, ivf_cells,
+                                            seed)
+            approx = ivf_topk(corpus, sample, k, vec_col, id_col,
+                              seed=seed, centers=centers,
+                              n_probe_cells=params["n_probe_cells"])
+        r = consider(method, params, cost, approx)
+        if r >= target_recall:
+            sample.unpersist()
+            exact.unpersist()
+            return {"method": method, "params": params,
+                    "recall_sample": round(r, 3),
+                    "est_cost_multiple": round(cost, 3),
+                    "n_sample_probes": n_sample_probes, "k": k,
+                    "ladder": measured}
+    sample.unpersist()
+    exact.unpersist()
+    return {"method": "exact", "params": {},
+            "recall_sample": 1.0, "est_cost_multiple": 1.0,
+            "n_sample_probes": n_sample_probes, "k": k,
+            "ladder": measured}

@@ -650,3 +650,52 @@ def test_review_fixes_null_tokens_and_packing(spark):
     w = 0.1 ** -2
     assert row.m == pytest.approx((1.0 * w + 3.0 * w) / (2 * w))
     assert row.sigma == pytest.approx(np.sqrt(2 / (2 * w)))
+
+
+def test_tune_ann_finds_cheap_point_on_clustered_corpus(spark):
+    """On a corpus with tight neighbor structure (twin pairs, cosine~1) the
+    tuner must pick a cheap approximate point (est cost << 1) that meets
+    the target — and the sample-based recall estimate must hold up on the
+    FULL probe set (the contract the 100-TB caller relies on)."""
+    from light_curve_python_spark.operators.similarity import (ann_recall,
+                                                               cosine_topk,
+                                                               lsh_topk,
+                                                               tune_ann)
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(150, 16))
+    vecs = np.vstack([base, base + 0.01 * rng.normal(size=(150, 16))])
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf).cache()
+    probes = df.filter(F.col("vec_id") < 40)
+    out = tune_ann(df, probes, k=1, target_recall=0.9, n_sample_probes=20,
+                   dim=16, ivf_cells=4)
+    assert out["recall_sample"] >= 0.9
+    assert out["method"] in ("lsh", "ivf")
+    assert out["est_cost_multiple"] < 1.0
+    assert out["ladder"]  # the measured operating curve is reported
+    # the tuned point generalizes from the 20-probe sample to all 40
+    if out["method"] == "lsh":
+        approx = lsh_topk(df, probes, k=1, dim=16, **out["params"])
+    else:
+        from light_curve_python_spark.operators.similarity import ivf_topk
+        approx = ivf_topk(df, probes, k=1, **out["params"])
+    full = ann_recall(approx, cosine_topk(df, probes, k=1), k=1)
+    assert full >= out["recall_sample"] - 0.15
+    df.unpersist()
+
+
+def test_tune_ann_honest_exact_fallback(spark):
+    """Uniform random corpus, impossible target under a tiny cost cap: the
+    tuner must NOT return an approximate point below target — it falls
+    back to method='exact' and reports the measured ladder."""
+    from light_curve_python_spark.operators.similarity import tune_ann
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(200, 16))
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("vec_id") < 10)
+    out = tune_ann(df, probes, k=5, target_recall=0.99, n_sample_probes=8,
+                   dim=16, max_cost=0.1, ivf_cells=16)
+    assert out["method"] == "exact"
+    assert out["recall_sample"] == 1.0
+    assert all(p["recall_sample"] < 0.99 for p in out["ladder"])
