@@ -1285,7 +1285,9 @@ r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY _h, event_id) AS _rk
       FROM h),
 er AS (SELECT user_id, t, m FROM r
-       WHERE _rk <= _n - CAST(round({ERODE['drop_nobs']} * _n) AS BIGINT)),
+       WHERE _rk <= _n
+             - CAST(round({sql_double_lit(ERODE['drop_nobs'])} * _n)
+                    AS BIGINT)),
 pairs AS (SELECT a.user_id, b.t - a.t AS dt, b.m - a.m AS dm
           FROM er a JOIN er b
             ON a.user_id = b.user_id AND b.t > a.t),
@@ -2698,7 +2700,11 @@ def q_pipeline_e2e(spark, sf_dir):
     lang_ids = (language_id(docs)
                 .filter(F.col("predicted_lang") == "en").select("doc_id"))
     kept = docs.join(keep_ids, "doc_id").join(lang_ids, "doc_id")
-    pairs = ngram_jaccard_pairs(kept, k=3, threshold=PIPE_JACCARD_TAU) \
+    # exact mode pinned (max_shingle_df=None): SQL_PIPELINE_E2E's jpairs
+    # CTE is the unpruned inverted-index join, and the production default
+    # of 256 would silently diverge on corpora with >256-hot shingles
+    pairs = ngram_jaccard_pairs(kept, k=3, threshold=PIPE_JACCARD_TAU,
+                                max_shingle_df=None) \
         .select("id_a", "id_b")
     canon = (dedup_groups(pairs, kept, "doc_id")
              .filter("is_canonical")

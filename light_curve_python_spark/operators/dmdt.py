@@ -328,17 +328,34 @@ def erode_observations(df: DataFrame, entity_col: str = "doc_id",
     (the corpus-scale convenience, where one short curve must not kill
     a 1000-executor job).
     """
-    if isinstance(drop_nobs, float) and not 0.0 <= drop_nobs < 1.0:
-        raise ValueError("if drop_nobs is float, it must be in [0.0, 1.0)")
-    if isinstance(drop_nobs, int) and drop_nobs < 0:
-        raise ValueError("drop_nobs must be >= 0")
+    if isinstance(drop_nobs, bool):
+        raise ValueError("drop_nobs must be an int count or float "
+                         "fraction, not bool")
+    if isinstance(drop_nobs, (int, np.integer)):
+        drop_nobs = int(drop_nobs)
+        if drop_nobs < 0:
+            raise ValueError("drop_nobs must be >= 0")
+    elif isinstance(drop_nobs, (float, np.floating)):
+        drop_nobs = float(drop_nobs)
+        if not 0.0 <= drop_nobs < 1.0:
+            raise ValueError(
+                "if drop_nobs is float, it must be in [0.0, 1.0)")
+    else:
+        raise TypeError(f"drop_nobs must be int or float, "
+                        f"got {type(drop_nobs).__name__}")
     if on_short not in ("error", "skip"):
         raise ValueError("on_short must be 'error' or 'skip'")
     keys = list(key_cols) if key_cols is not None else \
         [c for c in df.columns if c != entity_col]
+    # concat_ws silently SKIPS null inputs, which would collapse
+    # ('a', NULL) and (NULL, 'a') keys onto one hash and make the survivor
+    # choice run-dependent — coalesce each component to a sentinel no cast
+    # output contains (a DuckDB twin using '||' must apply the same
+    # coalesce; the shipped oracle row uses non-null integer keys)
+    _s = lambda c: F.coalesce(c.cast("string"), F.lit("\x00null"))
     h = F.md5(F.concat_ws(
-        ":", F.lit(str(seed)), F.col(entity_col).cast("string"),
-        *[F.col(k).cast("string") for k in keys]))
+        ":", F.lit(str(seed)), _s(F.col(entity_col)),
+        *[_s(F.col(k)) for k in keys]))
     w = Window.partitionBy(entity_col)
     n = F.count(F.lit(1)).over(w)
     rk = F.row_number().over(

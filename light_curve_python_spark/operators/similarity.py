@@ -207,16 +207,20 @@ def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
 
 def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> float:
     """recall@k of an approximate top-k result against the exact baseline:
-    mean over probes of |approx ∩ exact| / k.  Probes the approximate path
-    returned nothing for count as recall 0 (left join from the exact probe
-    set).  Distributed compute, collects ONE scalar."""
+    mean over probes of |approx ∩ exact| / min(k, |exact|) — the
+    denominator is the per-probe EXACT result size, so a probe whose
+    corpus has fewer than k neighbors can still score 1.0 when the
+    approximate path returns all of them.  Probes the approximate path
+    returned nothing for count as recall 0 (left join from the exact
+    probe set).  Distributed compute, collects ONE scalar."""
     hits = (approx.select("probe_id", "neighbor_id")
             .join(exact.select("probe_id", "neighbor_id"),
                   ["probe_id", "neighbor_id"])
             .groupBy("probe_id").agg(F.count("*").alias("_h")))
-    per_probe = (exact.select("probe_id").distinct()
-                 .join(hits, "probe_id", "left")
-                 .select((F.coalesce(F.col("_h"), F.lit(0)) / F.lit(k))
+    denom = (exact.groupBy("probe_id")
+             .agg(F.least(F.count("*"), F.lit(k)).alias("_d")))
+    per_probe = (denom.join(hits, "probe_id", "left")
+                 .select((F.coalesce(F.col("_h"), F.lit(0)) / F.col("_d"))
                          .alias("_r")))
     return float(per_probe.agg(F.avg("_r")).collect()[0][0])
 
@@ -266,43 +270,43 @@ def tune_ann(corpus: DataFrame, probes: DataFrame, k: int = 10,
         return r
 
     candidates = []
-    for n_planes, n_tables in (lsh_ladder or _LSH_LADDER):
+    ladder = _LSH_LADDER if lsh_ladder is None else lsh_ladder
+    for n_planes, n_tables in ladder:
         cost = n_tables / 2.0 ** n_planes
         if cost <= max_cost:
             candidates.append((cost, "lsh",
                                dict(n_planes=n_planes, n_tables=n_tables)))
     centers = None
-    for n_probe_cells in (1, 2, 4, 8, ivf_cells):
-        if n_probe_cells > ivf_cells:
-            continue
+    for n_probe_cells in sorted({c for c in (1, 2, 4, 8, ivf_cells)
+                                 if c <= ivf_cells}):
         cost = n_probe_cells / float(ivf_cells)
         if cost <= max_cost:
             candidates.append((cost, "ivf",
                                dict(n_cells=ivf_cells,
                                     n_probe_cells=n_probe_cells)))
-    for cost, method, params in sorted(candidates, key=lambda c: c[0]):
-        if method == "lsh":
-            approx = lsh_topk(corpus, sample, k, vec_col, id_col,
-                              dim=dim, seed=seed, **params)
-        else:
-            if centers is None:
-                centers = ivf_train_centers(corpus, vec_col, ivf_cells,
-                                            seed)
-            approx = ivf_topk(corpus, sample, k, vec_col, id_col,
-                              seed=seed, centers=centers,
-                              n_probe_cells=params["n_probe_cells"])
-        r = consider(method, params, cost, approx)
-        if r >= target_recall:
-            sample.unpersist()
-            exact.unpersist()
-            return {"method": method, "params": params,
-                    "recall_sample": round(r, 3),
-                    "est_cost_multiple": round(cost, 3),
-                    "n_sample_probes": n_sample_probes, "k": k,
-                    "ladder": measured}
-    sample.unpersist()
-    exact.unpersist()
-    return {"method": "exact", "params": {},
-            "recall_sample": 1.0, "est_cost_multiple": 1.0,
-            "n_sample_probes": n_sample_probes, "k": k,
-            "ladder": measured}
+    try:
+        for cost, method, params in sorted(candidates, key=lambda c: c[0]):
+            if method == "lsh":
+                approx = lsh_topk(corpus, sample, k, vec_col, id_col,
+                                  dim=dim, seed=seed, **params)
+            else:
+                if centers is None:
+                    centers = ivf_train_centers(corpus, vec_col, ivf_cells,
+                                                seed)
+                approx = ivf_topk(corpus, sample, k, vec_col, id_col,
+                                  seed=seed, centers=centers,
+                                  n_probe_cells=params["n_probe_cells"])
+            r = consider(method, params, cost, approx)
+            if r >= target_recall:
+                return {"method": method, "params": params,
+                        "recall_sample": round(r, 3),
+                        "est_cost_multiple": round(cost, 3),
+                        "n_sample_probes": n_sample_probes, "k": k,
+                        "ladder": measured}
+        return {"method": "exact", "params": {},
+                "recall_sample": 1.0, "est_cost_multiple": 1.0,
+                "n_sample_probes": n_sample_probes, "k": k,
+                "ladder": measured}
+    finally:
+        sample.unpersist()
+        exact.unpersist()

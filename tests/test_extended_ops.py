@@ -445,3 +445,33 @@ def test_erode_composes_with_dmdt_kernel(spark):
         dense[sub.dt_bin.to_numpy(), sub.dm_bin.to_numpy()] = \
             sub.pair_count.to_numpy()
         np.testing.assert_array_equal(dense, want)
+
+
+def test_erode_null_keys_hash_deterministically(spark):
+    """concat_ws silently skips NULLs: without a sentinel, ('a', NULL) and
+    (NULL, 'a') keys collapse onto one hash and the survivor choice becomes
+    run-dependent.  With the coalesce sentinel the erosion of null-keyed
+    rows is deterministic across partitionings."""
+    from light_curve_python_spark.operators.dmdt import erode_observations
+    rows = [(0, "a", None), (0, None, "a"), (0, "b", "c"), (0, "d", None),
+            (1, "x", None), (1, None, None), (1, "y", "z"), (1, None, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, k1 string, k2 string")
+    a = erode_observations(df, "doc_id", drop_nobs=2, seed=5,
+                           key_cols=["k1", "k2"]).toPandas()
+    b = erode_observations(df.repartition(5), "doc_id", drop_nobs=2,
+                           seed=5, key_cols=["k1", "k2"]).toPandas()
+    key = lambda p: sorted(map(tuple, p.fillna("§").to_numpy()))
+    assert key(a) == key(b)
+    assert (a.groupby("doc_id").size() == 2).all()
+
+
+def test_erode_rejects_bool_and_numpy_scalars(spark):
+    from light_curve_python_spark.operators.dmdt import erode_observations
+    df = _erode_df(spark, 1, 5)
+    with pytest.raises(ValueError, match="not bool"):
+        erode_observations(df, "doc_id", drop_nobs=True)
+    with pytest.raises(ValueError, match=r"\[0\.0, 1\.0\)"):
+        erode_observations(df, "doc_id", drop_nobs=np.float32(1.5))
+    # numpy scalars of valid magnitude behave like their python twins
+    out = erode_observations(df, "doc_id", drop_nobs=np.int64(2), seed=1)
+    assert out.count() == 3

@@ -699,3 +699,18 @@ def test_tune_ann_honest_exact_fallback(spark):
     assert out["method"] == "exact"
     assert out["recall_sample"] == 1.0
     assert all(p["recall_sample"] < 0.99 for p in out["ladder"])
+
+
+def test_ann_recall_short_corpus_denominator(spark):
+    """A probe whose corpus holds fewer than k neighbors must score 1.0
+    when the approximate path returns the identical set — the denominator
+    is min(k, per-probe exact count), not k."""
+    from light_curve_python_spark.operators.similarity import (ann_recall,
+                                                               cosine_topk)
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(6, 8))
+    pdf = pd.DataFrame({"vec_id": range(6), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    probes = df.filter(F.col("vec_id") < 2)
+    exact = cosine_topk(df, probes, k=10)  # only 5 neighbors exist
+    assert ann_recall(exact, exact, k=10) == pytest.approx(1.0)
