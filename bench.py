@@ -415,14 +415,16 @@ def main():
     # sample, so timed numbers measure throughput, not process spawn
     _warmup(spark, obs_path, probes_path)
 
+    # min-of-3 per headline, runs published: the host has noisy-neighbor
+    # swings of 2-3x on identical code (r4's "regressions" were all draws
+    # of this), so single-shot headline numbers are not comparable
+    # round-to-round; min approximates unloaded capability
+    runs_log = {}
     for name, fn in _headline_queries(spark, obs_path, probes_path).items():
-        dt = _time_one(spark, fn)
-        if name == "pit_extract_full_battery":
-            # the first full-size run pays one-off JVM codegen/heap growth;
-            # report the better of two (steady state also published in the
-            # min-of-5 scaling block)
-            dt = min(dt, _time_one(spark, fn))
-        results[name] = round(dt, 3)
+        runs = [_time_one(spark, fn) for _ in range(3)]
+        runs_log[name] = [round(r, 3) for r in runs]
+        results[name] = round(min(runs), 3)
+    extras["queries_runs"] = runs_log
 
     # recall@k of the approximate ANN path vs the exact brute-force
     # baseline on the same probes (driver-side set compare over k*probes
@@ -447,6 +449,8 @@ def main():
 
     extras["feature_vectors_per_sec"] = round(
         n_probe_rows / results["pit_extract_full_battery"], 1)
+    # steady-state variant (same job, min-of-5 warm runs in the scaling
+    # block below) is appended after the scaling measurement
 
     # scaling evidence: identical flagship PIT job at local[8] vs local[32]
     scaling = {}
@@ -487,6 +491,11 @@ def main():
         scaling["efficiency_8_to_32"]
         / scaling["control_numpy_no_spark"]["efficiency_8_to_32"], 3)
     extras["scaling"] = scaling
+    # the flagship's warm steady state (min-of-5 at local[CPUS or 32]) —
+    # the headline fv/s the round reports; the single-shot queries entry
+    # above includes scan/codegen warmup the steady state does not
+    extras["feature_vectors_per_sec_steady"] = \
+        scaling["local32"]["rows_per_sec"]
     extras["n_probe_rows"] = n_probe_rows
     extras["n_entities"] = N_ENTITIES
 
