@@ -356,10 +356,15 @@ def erode_observations(df: DataFrame, entity_col: str = "doc_id",
     h = F.md5(F.concat_ws(
         ":", F.lit(str(seed)), _s(F.col(entity_col)),
         *[_s(F.col(k)) for k in keys]))
+    # materialize _n/_rk ONCE: every later textual reference to the
+    # window expression would otherwise expand into its own window
+    # function (the first cut evaluated count(1) six times per row in the
+    # physical Window operator)
     w = Window.partitionBy(entity_col)
-    n = F.count(F.lit(1)).over(w)
-    rk = F.row_number().over(
-        w.orderBy(h, *[F.col(k) for k in keys]))
+    df = df.withColumn("_erode_n", F.count(F.lit(1)).over(w)) \
+        .withColumn("_erode_rk", F.row_number().over(
+            w.orderBy(h, *[F.col(k) for k in keys])))
+    n, rk = F.col("_erode_n"), F.col("_erode_rk")
     if isinstance(drop_nobs, int):
         drop = F.lit(drop_nobs)
     else:
@@ -377,4 +382,5 @@ def erode_observations(df: DataFrame, entity_col: str = "doc_id",
         keep = guard & (rk <= n - drop)
     else:
         keep = (drop < n) & (rk <= n - drop)
-    return (df.withColumn("_keep", keep).filter("_keep").drop("_keep"))
+    return (df.withColumn("_keep", keep).filter("_keep")
+            .drop("_keep", "_erode_n", "_erode_rk"))
