@@ -2428,6 +2428,51 @@ WHERE (doc_id * 1000003 + {SAMPLE_SEED}) % {PRIME} % 1000000
 """
 
 
+TEMP_ALPHA = 0.5
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature data mixing (operators/sampling.py temperature_rates +
+    hash_sample): per-stratum keep rates ∝ n^alpha renormalized — the
+    standard multilingual/multi-source rebalancing.  The test corpus is
+    balanced across sources, so the stratum is derived (doc_id % 7 folded
+    4:2:1) to exercise nontrivial rates; the DuckDB twin recomputes
+    counts → pow → renormalize → budget → rates entirely in SQL with the
+    identical double arithmetic order."""
+    from light_curve_python_spark.operators.sampling import \
+        temperature_sample
+    docs = _docs(spark, sf_dir).withColumn(
+        "stratum",
+        F.when(F.pmod("doc_id", F.lit(7)) < 4, "a")
+        .when(F.pmod("doc_id", F.lit(7)) < 6, "b").otherwise("c"))
+    # Knuth-multiplier variant of the modular oracle hash: the linear
+    # _modhash maps small consecutive doc_ids to buckets < ~1500, which
+    # would pass ANY nontrivial rate and leave the thresholds untested
+    out = temperature_sample(docs, "stratum", alpha=TEMP_ALPHA,
+                             hash_fn=lambda c: F.pmod(
+                                 (c + F.lit(SAMPLE_SEED))
+                                 * F.lit(2654435761), F.lit(PRIME)))
+    return out.select("doc_id", "stratum")
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 < 4 THEN 'a'
+                  WHEN doc_id % 7 < 6 THEN 'b' ELSE 'c' END AS stratum
+           FROM documents),
+cnt AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
+w AS (SELECT stratum, n, pow(CAST(n AS DOUBLE), {TEMP_ALPHA}) AS w
+      FROM cnt),
+s AS (SELECT sum(w) AS sw FROM w),
+q AS (SELECT stratum, n, w / sw AS q FROM w, s),
+t AS (SELECT min(n / q) AS t FROM q),
+r AS (SELECT stratum, least(1.0, t * q / n) AS rate FROM q, t)
+SELECT d.doc_id, d.stratum FROM d JOIN r USING (stratum)
+WHERE ((d.doc_id + {SAMPLE_SEED}) * 2654435761) % {PRIME} % 1000000
+      < CAST(round(rate * 1000000) AS BIGINT)
+"""
+
+
 def q_corpus_filter(spark, sf_dir):
     """One-pass quality gate (operators/text.py quality_filter — the
     Gopher/C4-style heuristic family): length, mean word length,
@@ -2918,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "repetition_signals": q_repetition_signals,
         "dmdt_eroded": q_dmdt_eroded,
+        "temperature_mix": q_temperature_mix,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
 
@@ -2986,6 +3032,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
         "repetition_signals": SQL_REPETITION,
         "dmdt_eroded": SQL_DMDT_ERODED,
+        "temperature_mix": SQL_TEMPERATURE_MIX,
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)
     return {k: v.replace("ROUND(", f"ROUND({EPS_ROUND} + ")

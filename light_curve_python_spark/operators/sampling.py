@@ -13,7 +13,7 @@ from typing import Callable, Dict, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample"]
+__all__ = ["hash_sample", "temperature_rates", "temperature_sample"]
 
 _BUCKETS = 1_000_000
 
@@ -50,3 +50,53 @@ def hash_sample(df: DataFrame, rates: Dict[str, float],
         rate = F.when(F.col(stratify_col) == stratum,
                       F.lit(int(round(r * _BUCKETS)))).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def temperature_rates(df: DataFrame, stratify_col: str = "source",
+                      alpha: float = 0.5,
+                      budget: Optional[int] = None) -> Dict[str, float]:
+    """Per-stratum keep rates for TEMPERATURE data mixing: sample so the
+    mixed distribution follows p_s^alpha (renormalized) instead of the
+    corpus's natural p_s — the standard multilingual/multi-source
+    rebalancing device (alpha=1 keeps natural proportions, alpha=0 targets
+    uniform, alpha~0.3 is the usual low-resource boost).
+
+    With ``budget=None`` the total is the LARGEST achievable under
+    downsampling only: T = min_s n_s / q_s, which pins the most
+    oversampled-relative-to-natural stratum at rate 1.0 (this engine
+    never duplicates rows; upsampling beyond 1.0 is a training-loop
+    concern, so rates are capped and the cap is the documented contract).
+    With an explicit ``budget`` (total rows), rates are T*q_s/n_s capped
+    at 1.0 — strata hitting the cap deliver less than their target share.
+
+    The per-stratum counts are ONE tiny groupBy().count() collected to
+    the driver (one row per stratum — a dimension-scale collect); the
+    returned dict feeds ``hash_sample`` for the deterministic keep
+    decision."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    rows = df.groupBy(stratify_col).count().collect()
+    if not rows:
+        return {}
+    counts = {r[0]: r[1] for r in rows}
+    if None in counts:
+        raise ValueError(f"NULL {stratify_col} stratum: temperature "
+                         "rates need a total stratum key")
+    w = {s: float(n) ** alpha for s, n in counts.items()}
+    sw = sum(w[s] for s in sorted(w))
+    q = {s: w[s] / sw for s in w}
+    t = budget if budget is not None else \
+        min(counts[s] / q[s] for s in counts)
+    return {s: min(1.0, t * q[s] / counts[s]) for s in counts}
+
+
+def temperature_sample(df: DataFrame, stratify_col: str = "source",
+                       alpha: float = 0.5, budget: Optional[int] = None,
+                       key_col: str = "doc_id", seed: int = 0,
+                       hash_fn: Optional[Callable[[Column], Column]] = None
+                       ) -> DataFrame:
+    """``temperature_rates`` composed with ``hash_sample``: deterministic
+    temperature-mixed subsample of ``df``."""
+    rates = temperature_rates(df, stratify_col, alpha, budget)
+    return hash_sample(df, rates, stratify_col, key_col, seed,
+                       default_rate=0.0, hash_fn=hash_fn)

@@ -714,3 +714,63 @@ def test_ann_recall_short_corpus_denominator(spark):
     probes = df.filter(F.col("vec_id") < 2)
     exact = cosine_topk(df, probes, k=10)  # only 5 neighbors exist
     assert ann_recall(exact, exact, k=10) == pytest.approx(1.0)
+
+
+def _skewed_docs(spark):
+    rows = [(i, "web") for i in range(800)] + \
+           [(800 + i, "books") for i in range(150)] + \
+           [(950 + i, "code") for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_rates_math(spark):
+    from light_curve_python_spark.operators.sampling import (
+        temperature_rates)
+    df = _skewed_docs(spark)
+    # alpha=1: natural proportions — keep everything
+    assert temperature_rates(df, alpha=1.0) == \
+        {"web": 1.0, "books": 1.0, "code": 1.0}
+    # alpha=0: uniform target — smallest stratum pins at 1.0, others at
+    # n_min/n_s
+    r0 = temperature_rates(df, alpha=0.0)
+    assert r0["code"] == pytest.approx(1.0)
+    assert r0["books"] == pytest.approx(50 / 150)
+    assert r0["web"] == pytest.approx(50 / 800)
+    # alpha=0.5: target shares ∝ sqrt(n); the most boosted-relative-to-
+    # natural stratum (smallest) is the binding one at rate 1.0
+    r5 = temperature_rates(df, alpha=0.5)
+    assert r5["code"] == pytest.approx(1.0)
+    q = {s: n ** 0.5 for s, n in
+         {"web": 800, "books": 150, "code": 50}.items()}
+    sw = sum(q.values())
+    t = 50 / (q["code"] / sw)
+    assert r5["web"] == pytest.approx(t * q["web"] / sw / 800)
+    # explicit budget: expected kept total = sum(n_s * rate_s) ~ budget
+    rb = temperature_rates(df, alpha=0.5, budget=300)
+    expect = sum(n * rb[s] for s, n in
+                 {"web": 800, "books": 150, "code": 50}.items())
+    assert expect == pytest.approx(300, rel=0.01)
+
+
+def test_temperature_sample_hits_target_distribution(spark):
+    from light_curve_python_spark.operators.sampling import (
+        temperature_sample)
+    df = _skewed_docs(spark)
+    out = temperature_sample(df, alpha=0.0, seed=3).toPandas()
+    got = out.groupby("source").size()
+    # uniform target: each stratum ~50 docs (hash noise ~ +-2*sqrt(50))
+    assert got["code"] == 50            # rate 1.0, exact
+    assert abs(got["books"] - 50) < 16
+    assert abs(got["web"] - 50) < 16
+    # deterministic: rerun identical
+    again = temperature_sample(df, alpha=0.0, seed=3).toPandas()
+    assert sorted(again.doc_id) == sorted(out.doc_id)
+
+
+def test_temperature_rates_null_stratum_raises(spark):
+    from light_curve_python_spark.operators.sampling import (
+        temperature_rates)
+    df = spark.createDataFrame([(0, "a"), (1, None)],
+                               "doc_id long, source string")
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_rates(df)
