@@ -76,12 +76,25 @@ def pack_spans(df: DataFrame, block_tokens: int,
 def pack_tokens(df: DataFrame, block_tokens: int,
                 tokens_col: str = "tokens", id_col: str = "doc_id",
                 partition_col: Optional[str] = "source",
-                order_col: Optional[str] = None) -> DataFrame:
+                order_col: Optional[str] = None,
+                with_segments: bool = False) -> DataFrame:
     """Materialized packed blocks: ``(partition, block_id, tokens,
     n_docs)`` where ``tokens`` is the exact concatenation of the block's
     document slices in packing order (every block is full except each
     partition's last).  Token arrays ride JVM slice/flatten only — no
-    Python, byte-identical payload."""
+    Python, byte-identical payload.
+
+    ``with_segments=True`` adds the training-ready boundary columns a
+    packed-attention loader needs (all built with the same JVM HOFs, no
+    Python):
+
+    - ``segment_ids``: per-token 0-based index of the document slice it
+      came from within the block (len == len(tokens)) — the
+      block-diagonal attention-mask key;
+    - ``doc_ids``: the source document of each segment, in order;
+    - ``doc_lens``: each segment's token count (prefix-summing gives the
+      segment offsets).  A document spanning a block boundary appears as
+      the last segment of one block and segment 0 of the next."""
     order_col = order_col or id_col
     # NULL token arrays count as 0 tokens (F.size(NULL) = -1 would
     # decrement the packing cumsum and shift EVERY later block by one)
@@ -110,8 +123,24 @@ def pack_tokens(df: DataFrame, block_tokens: int,
         F.struct(F.col(order_col).alias("o"),
                  F.col(id_col).alias("i"),
                  piece.alias("p")).alias("_kp"))
-    return (keyed.groupBy(*part_cols, "block_id")
-            .agg(F.flatten(F.transform(
-                F.array_sort(F.collect_list("_kp")),
-                lambda s: s.getField("p"))).alias("tokens"),
-                F.count("*").alias("n_docs")))
+    grouped = keyed.groupBy(*part_cols, "block_id").agg(
+        F.array_sort(F.collect_list("_kp")).alias("_sorted"),
+        F.count("*").alias("n_docs"))
+    pieces = F.col("_sorted")
+    out_cols = [
+        *part_cols, "block_id",
+        F.flatten(F.transform(pieces, lambda s: s.getField("p")))
+        .alias("tokens"), F.col("n_docs")]
+    if with_segments:
+        out_cols += [
+            # genuine 2-arg (element, index) HOF form — a closure-captured
+            # default-arg lambda would be misparsed as this form, but here
+            # the index IS the segment id
+            F.flatten(F.transform(
+                pieces,
+                lambda s, i: F.array_repeat(i, F.size(s.getField("p")))))
+            .alias("segment_ids"),
+            F.transform(pieces, lambda s: s.getField("i")).alias("doc_ids"),
+            F.transform(pieces, lambda s: F.size(s.getField("p")))
+            .alias("doc_lens")]
+    return grouped.select(*out_cols)

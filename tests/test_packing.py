@@ -109,3 +109,32 @@ def test_pack_tokens_ties_byte_exact(spark):
     stream = [t for toks in pdf.tokens for t in toks]
     assert [t for blk in got.tokens for t in blk] == stream
     assert got.tokens.map(len).tolist()[:-1] == [8, 8]
+
+
+def test_pack_tokens_segments(spark):
+    """with_segments: per-token segment ids + per-segment doc ids/lens,
+    consistent with the token concatenation and with cross-block spans."""
+    from light_curve_python_spark.operators.packing import pack_tokens
+    rows = [("s", 1, list(range(0, 5))),      # 5 tokens
+            ("s", 2, list(range(10, 16))),    # 6 tokens -> crosses block 1
+            ("s", 3, list(range(20, 27)))]    # 7 tokens
+    df = spark.createDataFrame(rows, "source string, doc_id long, "
+                                     "tokens array<int>")
+    out = {r.block_id: r for r in
+           pack_tokens(df, 8, with_segments=True).collect()}
+    b0, b1, b2 = out[0], out[1], out[2]
+    # block 0: all of doc1 (5) + first 3 of doc2
+    assert b0.tokens == list(range(0, 5)) + [10, 11, 12]
+    assert b0.segment_ids == [0] * 5 + [1] * 3
+    assert b0.doc_ids == [1, 2] and b0.doc_lens == [5, 3]
+    # block 1: doc2's tail (3) + doc3's first 5 — continuation is seg 0
+    assert b1.tokens == [13, 14, 15] + list(range(20, 25))
+    assert b1.segment_ids == [0] * 3 + [1] * 5
+    assert b1.doc_ids == [2, 3] and b1.doc_lens == [3, 5]
+    # final partial block
+    assert b2.tokens == [25, 26] and b2.segment_ids == [0, 0]
+    assert b2.doc_ids == [3] and b2.doc_lens == [2]
+    for b in (b0, b1, b2):
+        assert len(b.segment_ids) == len(b.tokens)
+        assert sum(b.doc_lens) == len(b.tokens)
+        assert len(b.doc_ids) == len(b.doc_lens) == b.n_docs
