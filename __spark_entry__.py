@@ -2437,8 +2437,10 @@ def q_temperature_mix(spark, sf_dir):
     standard multilingual/multi-source rebalancing.  The test corpus is
     balanced across sources, so the stratum is derived (doc_id % 7 folded
     4:2:1) to exercise nontrivial rates; the DuckDB twin recomputes
-    counts → pow → renormalize → budget → rates entirely in SQL with the
-    identical double arithmetic order."""
+    counts → pow → renormalize → budget → rates entirely in SQL, with
+    the weight sum ORDER BY stratum pinning the same accumulation order
+    as temperature_rates' sorted-key Python sum (double addition is not
+    associative; an unpinned hash-aggregate order could drift a ulp)."""
     from light_curve_python_spark.operators.sampling import \
         temperature_sample
     docs = _docs(spark, sf_dir).withColumn(
@@ -2463,7 +2465,7 @@ WITH d AS (SELECT doc_id,
 cnt AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
 w AS (SELECT stratum, n, pow(CAST(n AS DOUBLE), {TEMP_ALPHA}) AS w
       FROM cnt),
-s AS (SELECT sum(w) AS sw FROM w),
+s AS (SELECT sum(w ORDER BY stratum) AS sw FROM w),
 q AS (SELECT stratum, n, w / sw AS q FROM w, s),
 t AS (SELECT min(n / q) AS t FROM q),
 r AS (SELECT stratum, least(1.0, t * q / n) AS rate FROM q, t)

@@ -491,11 +491,13 @@ def main():
         scaling["efficiency_8_to_32"]
         / scaling["control_numpy_no_spark"]["efficiency_8_to_32"], 3)
     extras["scaling"] = scaling
-    # the flagship's warm steady state (min-of-5 at local[CPUS or 32]) —
-    # the headline fv/s the round reports; the single-shot queries entry
-    # above includes scan/codegen warmup the steady state does not
-    extras["feature_vectors_per_sec_steady"] = \
-        scaling["local32"]["rows_per_sec"]
+    # the flagship's warm steady state (min-of-5) — only meaningful when
+    # the headline queries above also ran at 32 cores; at other
+    # SPARK_GRAFT_CPUS the scaling leg's core count differs from the
+    # headline session's and the two are not comparable
+    if CPUS == 32:
+        extras["feature_vectors_per_sec_steady"] = \
+            scaling["local32"]["rows_per_sec"]
     extras["n_probe_rows"] = n_probe_rows
     extras["n_entities"] = N_ENTITIES
 

@@ -345,6 +345,10 @@ def erode_observations(df: DataFrame, entity_col: str = "doc_id",
                         f"got {type(drop_nobs).__name__}")
     if on_short not in ("error", "skip"):
         raise ValueError("on_short must be 'error' or 'skip'")
+    reserved = {"_erode_n", "_erode_rk", "_keep"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"erode_observations reserves column names "
+                         f"{sorted(reserved)}; rename them first")
     keys = list(key_cols) if key_cols is not None else \
         [c for c in df.columns if c != entity_col]
     # concat_ws silently SKIPS null inputs, which would collapse
