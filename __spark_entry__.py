@@ -2685,6 +2685,57 @@ WHERE n_tok > 0
 """
 
 
+def q_pack_segments(spark, sf_dir):
+    """Materialized packed blocks WITH training-boundary labels
+    (operators/packing.py pack_tokens(with_segments=True)): every block
+    token exploded to (block, pos, token, segment_id), where segment_id
+    is the document-slice index within the block — the block-diagonal
+    attention key.  The DuckDB twin rebuilds the same blocks from the
+    span CTE: per-span block positions prev + i - block*{PACK_BLOCK} and
+    a row_number over packing order for the segment index."""
+    from light_curve_python_spark.operators.packing import pack_tokens
+    docs = _docs(spark, sf_dir).withColumn(
+        "tokens", F.filter(F.split("text", r"\s+"), lambda w: w != ""))
+    out = pack_tokens(docs, PACK_BLOCK, with_segments=True)
+    z = F.arrays_zip("tokens", "segment_ids")
+    return (out.select("source", "block_id",
+                       F.posexplode(z).alias("pos", "z"))
+            .select("source", "block_id",
+                    F.col("pos").cast("long").alias("pos"),
+                    F.col("z.tokens").alias("token"),
+                    F.col("z.segment_ids").cast("long")
+                    .alias("segment_id")))
+
+
+SQL_PACK_SEGMENTS = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+c AS (SELECT doc_id, source, ws, len(ws) AS n_tok,
+             CAST(sum(len(ws)) OVER (PARTITION BY source ORDER BY doc_id)
+                  - len(ws) AS BIGINT) AS prev
+      FROM d),
+spans AS (
+  SELECT source, doc_id, ws, prev, b AS block_id,
+         greatest(b * {PACK_BLOCK} - prev, 0) AS tok_start,
+         least((b + 1) * {PACK_BLOCK} - prev, n_tok) AS tok_end
+  FROM c, unnest(generate_series(
+      CAST(floor(prev / {PACK_BLOCK}) AS BIGINT),
+      CAST(floor((prev + n_tok - 1) / {PACK_BLOCK}) AS BIGINT))) AS t(b)
+  WHERE n_tok > 0),
+seg AS (SELECT *, row_number() OVER (PARTITION BY source, block_id
+                                     ORDER BY doc_id) - 1 AS segment_id
+        FROM spans)
+SELECT source, block_id,
+       prev + i - block_id * {PACK_BLOCK} AS pos,
+       ws[i + 1] AS token,
+       segment_id
+FROM seg, unnest(generate_series(tok_start, tok_end - 1)) AS u(i)
+"""
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-duplicate GROUPS: embedding-cosine pairs (the
     `cosine_dup_pairs` threshold) closed into connected components with
@@ -2966,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "dmdt_eroded": q_dmdt_eroded,
         "temperature_mix": q_temperature_mix,
+        "pack_segments": q_pack_segments,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
 
@@ -3035,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": SQL_REPETITION,
         "dmdt_eroded": SQL_DMDT_ERODED,
         "temperature_mix": SQL_TEMPERATURE_MIX,
+        "pack_segments": SQL_PACK_SEGMENTS,
     }
     # identical epsilon nudge as the Spark-side _r() helper (see EPS_ROUND)
     return {k: v.replace("ROUND(", f"ROUND({EPS_ROUND} + ")
