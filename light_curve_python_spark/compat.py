@@ -1,0 +1,398 @@
+"""Reference-shaped single-curve API — drop-in class façade over the
+kernel registry.
+
+A user of light-curve/light-curve-python writes::
+
+    import light_curve as lc
+    amplitude = lc.Amplitude()
+    amplitude(t, m)                       # one curve, numpy in/out
+    ext = lc.Extractor(lc.Amplitude(), lc.BeyondNStd(2.0))
+    ext.many(lcs)
+
+This module lets that code run against this engine by swapping the
+import (``from light_curve_python_spark import compat as lc``): every
+registry kernel is exposed as a class named like the reference's
+(``Amplitude``, ``BeyondNStd``, ``LaflerKinmanStringLength``,
+``Chi2Pvar``, ``BazinFit``, …) with the reference call contract
+(``feature(t, m, sigma=None, band=None, *, sorted=None, check=True,
+fill_value=None)`` — _base.py:93-95 — including the per-band ``bands=``
+evaluation of BaseSingleBandFeature, _base.py:108-166, and the
+sorted/check normalization of _base.py:49-91).  ``many`` is a serial
+loop like the reference's pure-Python features (_base.py:97-105); the
+PARALLEL path in this engine is Spark — every feature exposes
+``to_spark()`` returning the ``(key, params)`` spec that
+``FeatureExtractor`` consumes, so the scale-up is::
+
+    ex = FeatureExtractor([f.to_spark() for f in features])
+    ex.extract(obs_df)                    # distributed
+
+``DmDt`` mirrors the reference's map constructor + points/gausses/
+count_dt (src/dmdt.rs), ``Bins`` the rebinning meta-feature
+(light_curve_py/features/bins.py), and ``RainbowFit`` wraps
+``rainbow_fit_arrays``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .functions.kernels import (ensure_lazy_factories, evaluate_kernel,
+                                make_kernel)
+
+__all__ = ["Extractor", "DmDt", "Bins", "RainbowFit"]  # + generated below
+
+
+def _normalize_input(t, m, sigma, band, sorted, check):
+    """The reference's _normalize_input (_base.py:49-91): finite checks,
+    unique/sorted validation when ``sorted=None``, argsort when
+    ``sorted=False``."""
+    t = np.asarray(t, dtype=np.float64)
+    m = np.asarray(m, dtype=np.float64)
+    if sigma is not None:
+        sigma = np.asarray(sigma, dtype=np.float64)
+    if band is not None:
+        band = np.asarray(band)
+        if band.ndim != 1:
+            raise ValueError("band must be None or 1D array-like")
+    if check:
+        if np.any(~np.isfinite(t)):
+            raise ValueError("t values must be finite")
+        if np.any(~np.isfinite(m)):
+            raise ValueError("m values must be finite")
+        if sigma is not None and np.any(np.isnan(sigma)):
+            raise ValueError("sigma must have no NaNs")
+    if sorted is None:
+        diff = np.diff(t)
+        if np.any(diff == 0):
+            raise ValueError("t must be unique")
+        if np.any(diff < 0):
+            raise ValueError("t must be sorted")
+    elif not sorted:
+        idx = np.argsort(t, kind="stable")
+        t, m = t[idx], m[idx]
+        if sigma is not None:
+            sigma = sigma[idx]
+        if band is not None:
+            band = band[idx]
+    return t, m, sigma, band
+
+
+class _FeatureBase:
+    """Shared call/many contract; subclasses set ``_key`` and params."""
+
+    _key: str = ""
+
+    def __init__(self, *args, bands: Optional[Sequence[str]] = None,
+                 **kwargs):
+        params = dict(zip(self._param_names, args))
+        overlap = set(params) & set(kwargs)
+        if overlap:
+            raise TypeError(f"duplicate arguments: {sorted(overlap)}")
+        params.update(kwargs)
+        self._params = params
+        self._bands = list(bands) if bands is not None else None
+        self._kernel = make_kernel(self._key, **params)
+
+    # -- reference property surface ---------------------------------
+    @property
+    def names(self):
+        base = self._kernel.names
+        if self._bands is None:
+            return base
+        return tuple(f"{n}_{b}" for b in self._bands for n in base)
+
+    @property
+    def size(self):
+        return len(self.names)
+
+    @property
+    def is_band_required(self):
+        return self._bands is not None
+
+    # -- evaluation --------------------------------------------------
+    def _eval_arrays(self, t, m, sigma, fill_value):
+        if fill_value is None:
+            # the reference propagates the error when fill_value is None
+            return evaluate_kernel(self._kernel, t, m, sigma,
+                                   fill_value=None)
+        return evaluate_kernel(self._kernel, t, m, sigma,
+                               fill_value=fill_value)
+
+    def __call__(self, t, m, sigma=None, band=None, *, sorted=None,
+                 check=True, fill_value=None):
+        t, m, sigma, band = _normalize_input(t, m, sigma, band, sorted,
+                                             check)
+        if self._bands is None:
+            out = self._eval_arrays(t, m, sigma, fill_value)
+            # size-1 single-band returns a scalar, like the reference's
+            # pure-Python features
+            return float(out[0]) if len(out) == 1 else out
+        if band is None:
+            raise ValueError("band is required")
+        parts = []
+        for b in self._bands:
+            mask = band == b
+            sb = None if sigma is None else sigma[mask]
+            parts.append(np.atleast_1d(
+                self._eval_arrays(t[mask], m[mask], sb, fill_value)))
+        return np.concatenate(parts)
+
+    def many(self, lcs, *, sorted=None, check=True, fill_value=None,
+             n_jobs=1):
+        """Serial bulk loop (the reference's pure-Python ``many``,
+        _base.py:97-105).  ``n_jobs`` is accepted for source
+        compatibility and ignored — the parallel path in this engine is
+        Spark via ``to_spark()`` + ``FeatureExtractor``."""
+        return np.stack([
+            np.atleast_1d(self(*lc, sorted=sorted, check=check,
+                               fill_value=fill_value)) for lc in lcs])
+
+    # -- spark bridge ------------------------------------------------
+    def to_spark(self):
+        """The ``(key, params)`` spec ``FeatureExtractor`` consumes."""
+        return (self._key, dict(self._params)) if self._params \
+            else self._key
+
+    def __repr__(self):
+        args = ", ".join(f"{k}={v!r}" for k, v in self._params.items())
+        return f"{type(self).__name__}({args})"
+
+
+def _camel(key: str) -> str:
+    return "".join(p.capitalize() for p in key.split("_"))
+
+
+def _make_class(key: str):
+    import inspect
+
+    from .functions.kernels import KERNEL_FACTORIES
+    factory = KERNEL_FACTORIES[key]
+    param_names = [p for p in inspect.signature(factory).parameters]
+    cls = type(_camel(key), (_FeatureBase,),
+               {"_key": key, "_param_names": tuple(param_names),
+                "__doc__": f"Reference-compat façade for the "
+                           f"'{key}' kernel."})
+    return cls
+
+
+class _FitBase(_FeatureBase):
+    """Reference fit-class ctor shape (features.rs:3096-3110):
+    ``Fit(algorithm, *, mcmc_niter=..., lmsder_niter=..., init=None,
+    bounds=None, ln_prior=None, ...)``.  Every algorithm maps onto this
+    engine's pure-numpy LM multi-start (the documented optimizer
+    divergence — see SURVEY §9); the per-algorithm iteration knobs are
+    accepted for source compatibility and folded into ``max_iter``."""
+
+    _FIT_PARAMS = ("init", "bounds", "max_iter", "ln_prior")
+
+    def __init__(self, algorithm: str = "mcmc-lmsder", *,
+                 init=None, bounds=None, ln_prior=None, max_iter=100,
+                 mcmc_niter=None, lmsder_niter=None, ceres_niter=None,
+                 ceres_loss_reg=None, nuts_ntune=None, nuts_niter=None,
+                 transform=None, bands=None):
+        if not isinstance(algorithm, str) or not algorithm:
+            raise ValueError("algorithm must be a non-empty string")
+        if transform is not None:
+            raise ValueError(
+                "transform is not supported by the compat façade; use "
+                "FeatureExtractor(..., transforms=...) on the Spark path")
+        self.algorithm = algorithm
+        params = {"max_iter": max_iter}
+        if init is not None:
+            params["init"] = init
+        if bounds is not None:
+            params["bounds"] = bounds
+        if ln_prior is not None:
+            params["ln_prior"] = ln_prior
+        self._params = params
+        self._bands = list(bands) if bands is not None else None
+        self._kernel = make_kernel(self._key, **params)
+
+
+_FIT_KEYS = ("bazin_fit", "villar_fit", "linexp_fit")
+
+# generate one class per registry kernel (incl. the lazily registered
+# fit kernels) under the reference's names
+for _k in _FIT_KEYS:
+    ensure_lazy_factories(_k)
+from .functions.kernels import KERNEL_FACTORIES as _KF  # noqa: E402
+
+for _key in sorted(_KF):
+    if _key == "rainbow_fit":
+        continue  # multiband; wrapped explicitly below
+    if _key in _FIT_KEYS:
+        _cls = type(_camel(_key), (_FitBase,), {"_key": _key})
+    else:
+        _cls = _make_class(_key)
+    globals()[_cls.__name__] = _cls
+    __all__.append(_cls.__name__)
+
+
+class Extractor:
+    """Reference Extractor (light_curve_py/features/extractor.py):
+    evaluates each member feature and concatenates outputs."""
+
+    def __init__(self, *features):
+        self.features = features
+
+    @property
+    def names(self):
+        return tuple(n for f in self.features for n in f.names)
+
+    @property
+    def size(self):
+        return sum(f.size for f in self.features)
+
+    def __call__(self, t, m, sigma=None, band=None, *, sorted=None,
+                 check=True, fill_value=None):
+        return np.concatenate([
+            np.atleast_1d(f(t, m, sigma, band, sorted=sorted, check=check,
+                            fill_value=fill_value))
+            for f in self.features])
+
+    def many(self, lcs, *, sorted=None, check=True, fill_value=None,
+             n_jobs=1):
+        return np.stack([self(*lc, sorted=sorted, check=check,
+                              fill_value=fill_value) for lc in lcs])
+
+    def to_spark(self):
+        return [f.to_spark() for f in self.features]
+
+
+class Bins:
+    """The reference Bins meta-feature (light_curve_py/features/bins.py;
+    same semantics as operators/bins.py `bin_series`): rebin into
+    ``window``-wide bins anchored at ``offset`` — m = inverse-variance
+    weighted mean, sigma = sqrt(count / sum w), t = bin center — then
+    evaluate the inner features on the binned curve."""
+
+    def __init__(self, features, window: float = 1.0,
+                 offset: float = 0.0):
+        if window <= 0:
+            raise ValueError("window must be positive")
+        self.extractor = features if isinstance(features, Extractor) \
+            else Extractor(*features)
+        self.window = float(window)
+        self.offset = float(offset)
+
+    @property
+    def names(self):
+        return tuple(f"bins_window{self.window}_offset{self.offset}_{n}"
+                     for n in self.extractor.names)
+
+    @property
+    def size(self):
+        return self.extractor.size
+
+    def _rebin(self, t, m, sigma):
+        k = np.floor((t - self.offset) / self.window).astype(np.int64)
+        uk = np.unique(k)
+        w = sigma ** -2.0
+        bt = self.offset + self.window * (uk + 0.5)
+        bm = np.empty(len(uk))
+        bs = np.empty(len(uk))
+        for i, b in enumerate(uk):
+            mask = k == b
+            sw = w[mask].sum()
+            bm[i] = (m[mask] * w[mask]).sum() / sw
+            bs[i] = np.sqrt(np.count_nonzero(mask) / sw)
+        return bt, bm, bs
+
+    def __call__(self, t, m, sigma=None, band=None, *, sorted=None,
+                 check=True, fill_value=None):
+        if sigma is None:
+            raise ValueError("Bins requires sigma")
+        t, m, sigma, _ = _normalize_input(t, m, sigma, None, sorted, check)
+        bt, bm, bs = self._rebin(t, m, sigma)
+        return self.extractor(bt, bm, bs, sorted=True, check=False,
+                              fill_value=fill_value)
+
+
+class DmDt:
+    """Reference DmDt map (src/dmdt.rs) over this engine's kernels:
+    ``from_borders`` constructor, ``points`` / ``gausses`` /
+    ``count_dt`` (+ ``*_many`` serial loops).  ``norm`` accepts the
+    reference's ('dt', 'max') subsets."""
+
+    def __init__(self, dt_edges, dm_edges, norm=()):
+        from .operators.dmdt import grid_edges
+        self.dt_edges = grid_edges(dt_edges, "asis")
+        self.dm_edges = grid_edges(dm_edges, "asis")
+        self.norm = tuple(norm)
+
+    @classmethod
+    def from_borders(cls, min_lgdt, max_lgdt, lgdt_size, max_abs_dm,
+                     dm_size, norm=()):
+        from .operators.dmdt import from_borders
+        dt, dm = from_borders(min_lgdt, max_lgdt, lgdt_size, max_abs_dm,
+                              dm_size)
+        return cls(dt, dm, norm)
+
+    def _normed(self, hist, t):
+        from .operators.dmdt import count_dt_kernel, normalize_dmdt
+        if not self.norm:
+            return hist
+        dtc = count_dt_kernel(t, self.dt_edges) if "dt" in self.norm \
+            else None
+        return normalize_dmdt(hist, self.norm, dt_counts=dtc)
+
+    def points(self, t, m, sorted=None):
+        from .operators.dmdt import dmdt_points_kernel
+        t, m, _, _ = _normalize_input(t, m, None, None, sorted, True)
+        return self._normed(
+            dmdt_points_kernel(t, m, self.dt_edges, self.dm_edges), t)
+
+    def gausses(self, t, m, sigma, sorted=None):
+        from .operators.dmdt import dmdt_gausses_kernel
+        t, m, sigma, _ = _normalize_input(t, m, sigma, None, sorted, True)
+        return self._normed(
+            dmdt_gausses_kernel(t, m, sigma, self.dt_edges,
+                                self.dm_edges), t)
+
+    def count_dt(self, t, sorted=None):
+        from .operators.dmdt import count_dt_kernel
+        t = np.asarray(t, dtype=np.float64)
+        return count_dt_kernel(t, self.dt_edges)
+
+    def points_many(self, lcs, sorted=None):
+        return np.stack([self.points(t, m, sorted) for t, m in lcs])
+
+    def gausses_many(self, lcs, sorted=None):
+        return np.stack([self.gausses(t, m, s, sorted)
+                         for t, m, s in lcs])
+
+    def count_dt_many(self, ts, sorted=None):
+        return np.stack([self.count_dt(t, sorted) for t in ts])
+
+
+class RainbowFit:
+    """Reference RainbowFit façade over ``rainbow_fit_arrays``
+    (functions/rainbow.py): multiband MAP fit of the Bazin × sigmoid-T ×
+    Planck model."""
+
+    def __init__(self, band_wave_cm: Dict[str, float], **opts):
+        self.band_wave_cm = dict(band_wave_cm)
+        self.opts = opts
+
+    @classmethod
+    def from_angstrom(cls, band_wave_aa: Dict[str, float], **opts):
+        return cls({b: w * 1e-8 for b, w in band_wave_aa.items()}, **opts)
+
+    def __call__(self, t, m, sigma, band, *, sorted=None, check=True,
+                 fill_value=None):
+        from .functions.rainbow import rainbow_fit_arrays
+        t, m, sigma, band = _normalize_input(t, m, sigma, band, sorted,
+                                             check)
+        try:
+            return rainbow_fit_arrays(t, m, sigma, band,
+                                      self.band_wave_cm, **self.opts)
+        except (ValueError, ZeroDivisionError, RuntimeError):
+            if fill_value is None:
+                raise
+            from .functions.rainbow import rainbow_param_names
+            names = rainbow_param_names(
+                self.opts.get("bolometric", "bazin"),
+                self.opts.get("temperature", "sigmoid"))
+            return np.full(len(names) + 1, fill_value)

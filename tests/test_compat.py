@@ -1,0 +1,184 @@
+"""Reference-shaped single-curve API façade (light_curve_python_spark.compat):
+call contract, normalization, bands, fills, meta-features, Spark bridge."""
+
+import numpy as np
+import pytest
+
+from light_curve_python_spark import compat as lc
+from light_curve_python_spark.functions.kernels import (evaluate_kernel,
+                                                        make_kernel)
+
+REFERENCE_NAMES = """Amplitude AndersonDarlingNormal BazinFit BeyondNStd
+Chi2Pvar Cusum Duration Eta EtaE ExcessVariance InterPercentileRange
+Kurtosis LaflerKinmanStringLength LinearFit LinearTrend LinexpFit
+MagnitudePercentageRatio MaximumSlope MaximumTimeInterval Mean MeanVariance
+Median MedianAbsoluteDeviation MedianBufferRangePercentage
+MinimumTimeInterval ObservationCount OtsuSplit PercentAmplitude
+PercentDifferenceMagnitudePercentile Periodogram ReducedChi2 Roms Skew
+StandardDeviation StetsonK TimeMean TimeStandardDeviation VillarFit
+WeightedMean FluxNNotDetBeforeFd MagnitudeNNotDetBeforeFd PeakToPeakVar
+Extractor DmDt Bins RainbowFit""".split()
+
+
+@pytest.fixture()
+def curve():
+    rng = np.random.default_rng(11)
+    t = np.sort(rng.uniform(0, 10, 80))
+    m = np.sin(t) + 0.05 * rng.normal(size=80)
+    sigma = np.full(80, 0.05)
+    return t, m, sigma
+
+
+def test_every_reference_name_exists():
+    missing = [n for n in REFERENCE_NAMES if not hasattr(lc, n)]
+    assert not missing, missing
+
+
+def test_call_matches_kernel(curve):
+    t, m, sigma = curve
+    cases = [(lc.Amplitude(), "amplitude", {}),
+             (lc.BeyondNStd(2.0), "beyond_n_std", {"nstd": 2.0}),
+             (lc.InterPercentileRange(0.1), "inter_percentile_range",
+              {"quantile": 0.1}),
+             (lc.StetsonK(), "stetson_k", {})]
+    for feat, key, params in cases:
+        want = evaluate_kernel(make_kernel(key, **params), t, m, sigma)
+        got = feat(t, m, sigma)
+        np.testing.assert_allclose(np.atleast_1d(got), want)
+
+
+def test_scalar_for_size_one(curve):
+    t, m, sigma = curve
+    assert isinstance(lc.Mean()(t, m), float)
+    out = lc.OtsuSplit()(t, m)          # 4 outputs -> array
+    assert isinstance(out, np.ndarray) and out.shape == (4,)
+
+
+def test_normalization_contract(curve):
+    t, m, sigma = curve
+    # sorted=None on unsorted input raises (the reference contract)
+    rt = t[::-1].copy()
+    with pytest.raises(ValueError, match="sorted"):
+        lc.Mean()(rt, m)
+    # duplicate t raises
+    tt = t.copy()
+    tt[1] = tt[0]
+    with pytest.raises(ValueError, match="unique"):
+        lc.Mean()(tt, m)
+    # sorted=False argsorts — order-sensitive feature agrees
+    idx = np.argsort(t, kind="stable")
+    shuffled = np.argsort(idx)  # any permutation; use reverse
+    assert lc.Eta()(t[::-1], m[::-1], sorted=False) == \
+        pytest.approx(lc.Eta()(t, m))
+    # check=True rejects non-finite
+    bad = m.copy()
+    bad[3] = np.nan
+    with pytest.raises(ValueError, match="finite"):
+        lc.Mean()(t, bad)
+
+
+def test_fill_value_contract(curve):
+    t, m, sigma = curve
+    # two observations: kurtosis (min_obs 4) fills instead of raising
+    f = lc.Kurtosis()
+    with pytest.raises(Exception):
+        f(t[:2], m[:2])
+    assert f(t[:2], m[:2], fill_value=-1.0) == -1.0
+
+
+def test_bands_evaluation(curve):
+    t, m, sigma = curve
+    band = np.where(np.arange(len(t)) % 2 == 0, "g", "r")
+    f = lc.Mean(bands=["g", "r"])
+    assert f.names == ("mean_g", "mean_r")
+    out = f(t, m, sigma, band)
+    np.testing.assert_allclose(
+        out, [m[band == "g"].mean(), m[band == "r"].mean()])
+    with pytest.raises(ValueError, match="band is required"):
+        f(t, m, sigma)
+
+
+def test_extractor_and_many(curve):
+    t, m, sigma = curve
+    ex = lc.Extractor(lc.Amplitude(), lc.BeyondNStd(1.5), lc.OtsuSplit())
+    out = ex(t, m, sigma)
+    assert out.shape == (ex.size,) == (6,)
+    stacked = ex.many([(t, m, sigma), (t, 2 * m, sigma)])
+    assert stacked.shape == (2, 6)
+    np.testing.assert_allclose(stacked[0], out)
+
+
+def test_to_spark_bridge(spark, curve):
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    t, m, sigma = curve
+    ex = lc.Extractor(lc.Amplitude(), lc.BeyondNStd(1.5))
+    fe = FeatureExtractor(ex.to_spark())
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": "x", "t": t, "m": m, "sigma": sigma}))
+    row = fe.extract(df).toPandas().iloc[0]
+    want = ex(t, m, sigma)
+    np.testing.assert_allclose(
+        [row["amplitude"], row["beyond_1.5_std"]], want, rtol=1e-12)
+
+
+def test_dmdt_compat(curve):
+    t, m, sigma = curve
+    from light_curve_python_spark.operators.dmdt import (count_dt_kernel,
+                                                         dmdt_points_kernel,
+                                                         normalize_dmdt)
+    d = lc.DmDt.from_borders(-1.0, 1.0, 6, 2.0, 8, norm=("dt",))
+    raw = dmdt_points_kernel(t, m, d.dt_edges, d.dm_edges)
+    want = normalize_dmdt(raw, ("dt",),
+                          dt_counts=count_dt_kernel(t, d.dt_edges))
+    np.testing.assert_allclose(d.points(t, m), want)
+    g = d.gausses(t, m, sigma)
+    assert g.shape == (6, 8)
+    assert d.points_many([(t, m), (t, m)]).shape == (2, 6, 8)
+
+
+def test_bins_compat(curve):
+    t, m, sigma = curve
+    b = lc.Bins([lc.Mean(), lc.ObservationCount()], window=2.0)
+    out = b(t, m, sigma)
+    # manual rebin of the first window [0, 2)
+    mask = t < 2.0
+    w = sigma[mask] ** -2.0
+    # mean of binned m values: recompute all bins
+    k = np.floor(t / 2.0).astype(int)
+    bm = [np.average(m[k == i], weights=sigma[k == i] ** -2.0)
+          for i in np.unique(k)]
+    assert out[0] == pytest.approx(np.mean(bm))
+    assert out[1] == len(np.unique(k))
+
+
+def test_repr_and_params():
+    f = lc.BeyondNStd(2.0)
+    assert "2.0" in repr(f)
+    assert f.to_spark() == ("beyond_n_std", {"nstd": 2.0})
+    assert lc.Amplitude().to_spark() == "amplitude"
+
+
+def test_fit_class_reference_ctor_shape():
+    # reference shape: Fit(algorithm, *, kwargs) — features.rs:3096-3110
+    f = lc.BazinFit("mcmc-lmsder", mcmc_niter=64, lmsder_niter=10)
+    assert f.algorithm == "mcmc-lmsder"
+    assert f.names[-1] == "bazin_fit_reduced_chi2"
+    with pytest.raises(ValueError, match="transform"):
+        lc.BazinFit("mcmc", transform="arcsinh")
+    with pytest.raises(ValueError, match="algorithm"):
+        lc.BazinFit("")
+
+
+def test_fit_recovers_truth():
+    from light_curve_python_spark.functions.fits import bazin_model
+    t = np.linspace(-20.0, 60.0, 120)
+    truth = dict(a=120.0, b=10.0, t0=5.0, rise=5.0, fall=20.0)
+    m = bazin_model(t, **truth)
+    rng = np.random.default_rng(4)
+    sigma = np.full_like(t, 0.5)
+    f = lc.BazinFit("lmsder")
+    out = f(t, m + rng.normal(0, 0.5, len(t)), sigma)
+    got = dict(zip(("a", "b", "t0", "rise", "fall"), out[:5]))
+    assert got["a"] == pytest.approx(truth["a"], rel=0.1)
+    assert got["t0"] == pytest.approx(truth["t0"], abs=1.0)
