@@ -79,13 +79,35 @@ def _normalize_input(t, m, sigma, band, sorted, check):
     return t, m, sigma, band
 
 
+def _resolve_transform(key: str, transform) -> Optional[str]:
+    """The reference's transform argument (src/transform.rs:106-140):
+    None/False → identity; True/'default' → the feature's stock
+    transformer; a name string → that transformer.  Transformed outputs
+    keep their column names (the engine-wide convention, matching
+    FeatureExtractor(transforms=...))."""
+    if transform is None or transform is False:
+        return None
+    from .functions.transforms import DEFAULT_TRANSFORMS, TRANSFORMS
+    if transform is True or transform == "default":
+        name = DEFAULT_TRANSFORMS.get(key, "identity")
+    elif isinstance(transform, str):
+        name = transform
+    else:
+        raise ValueError(
+            f"transform must be None, a bool or a str, "
+            f"not {type(transform).__name__}")
+    if name not in TRANSFORMS:
+        raise ValueError(f"Unknown transformation: {name}")
+    return None if name == "identity" else name
+
+
 class _FeatureBase:
     """Shared call/many contract; subclasses set ``_key`` and params."""
 
     _key: str = ""
 
     def __init__(self, *args, bands: Optional[Sequence[str]] = None,
-                 **kwargs):
+                 transform=None, **kwargs):
         params = dict(zip(self._param_names, args))
         overlap = set(params) & set(kwargs)
         if overlap:
@@ -93,6 +115,7 @@ class _FeatureBase:
         params.update(kwargs)
         self._params = params
         self._bands = list(bands) if bands is not None else None
+        self._transform = _resolve_transform(self._key, transform)
         self._kernel = make_kernel(self._key, **params)
 
     # -- reference property surface ---------------------------------
@@ -113,12 +136,20 @@ class _FeatureBase:
 
     # -- evaluation --------------------------------------------------
     def _eval_arrays(self, t, m, sigma, fill_value):
-        if fill_value is None:
+        try:
+            out = evaluate_kernel(self._kernel, t, m, sigma,
+                                  fill_value=None)
+        except (ValueError, ZeroDivisionError, RuntimeError) as e:
             # the reference propagates the error when fill_value is None
-            return evaluate_kernel(self._kernel, t, m, sigma,
-                                   fill_value=None)
-        return evaluate_kernel(self._kernel, t, m, sigma,
-                               fill_value=fill_value)
+            # and fills UNTRANSFORMED otherwise (fill wraps the
+            # transformed evaluator, features.rs:1374-1379)
+            if fill_value is None:
+                raise e
+            return np.full(self._kernel.size, float(fill_value))
+        if self._transform is not None:
+            from .functions.transforms import apply_transform_numpy
+            out = apply_transform_numpy(self._transform, out)
+        return out
 
     def __call__(self, t, m, sigma=None, band=None, *, sorted=None,
                  check=True, fill_value=None):
@@ -199,6 +230,9 @@ class _FitBase(_FeatureBase):
                 "transform is not supported by the compat façade; use "
                 "FeatureExtractor(..., transforms=...) on the Spark path")
         self.algorithm = algorithm
+        # the reference's fit transformers are a documented divergence
+        # (transforms.py DEFAULT_TRANSFORMS note) — identity here
+        self._transform = None
         params = {"max_iter": max_iter}
         if init is not None:
             params["init"] = init

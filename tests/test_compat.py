@@ -182,3 +182,23 @@ def test_fit_recovers_truth():
     got = dict(zip(("a", "b", "t0", "rise", "fall"), out[:5]))
     assert got["a"] == pytest.approx(truth["a"], rel=0.1)
     assert got["t0"] == pytest.approx(truth["t0"], abs=1.0)
+
+
+def test_transform_argument(curve):
+    t, m, sigma = curve
+    base = lc.Kurtosis()(t, m)
+    # explicit name
+    assert lc.Kurtosis(transform="arcsinh")(t, m) == \
+        pytest.approx(np.arcsinh(base))
+    # True / 'default' pick the stock transformer (arcsinh for kurtosis,
+    # identity for mean — transforms.py DEFAULT_TRANSFORMS)
+    assert lc.Kurtosis(transform=True)(t, m) == \
+        pytest.approx(np.arcsinh(base))
+    assert lc.Mean(transform="default")(t, m) == \
+        pytest.approx(lc.Mean()(t, m))
+    with pytest.raises(ValueError, match="Unknown transformation"):
+        lc.Mean(transform="nope")
+    # fill value is NOT transformed (fill wraps the transformed
+    # evaluator in the reference)
+    assert lc.Kurtosis(transform="arcsinh")(
+        t[:2], m[:2], fill_value=-7.0) == -7.0
