@@ -400,6 +400,57 @@ class DmDt:
     def count_dt_many(self, ts, sorted=None):
         return np.stack([self.count_dt(t, sorted) for t in ts])
 
+    # -- batch iterators (src/dmdt.rs:244-283 GenericDmDtBatches) -----
+    def _batches(self, lcs, eval_one, batch_size, yield_index, shuffle,
+                 drop_nobs, random_seed):
+        """The reference's batches contract: iterate the curves once (one
+        epoch) in ``batch_size`` groups, optionally shuffled, each curve
+        eroded by ``drop_nobs`` observations (int count or
+        ``round(frac*n)``, uniform without replacement, survivors in time
+        order; dropping >= n raises — dmdt.rs:495-520).  RNG is numpy's
+        seeded Generator rather than Xoshiro256++: same distributional
+        contract, different stream.  At scale the same erosion is
+        ``operators.dmdt.erode_observations`` (deterministic md5-rank)."""
+        if isinstance(drop_nobs, float) and not 0.0 <= drop_nobs < 1.0:
+            raise ValueError(
+                "if drop_nobs is float, it must be in [0.0, 1.0)")
+        rng = np.random.default_rng(random_seed)
+        order = rng.permutation(len(lcs)) if shuffle \
+            else np.arange(len(lcs))
+        for lo in range(0, len(lcs), batch_size):
+            idx = order[lo:lo + batch_size]
+            maps = []
+            for i in idx:
+                arrays = [np.asarray(a, dtype=np.float64)
+                          for a in lcs[i]]
+                n = len(arrays[0])
+                drop = drop_nobs if isinstance(drop_nobs, int) \
+                    else int(round(drop_nobs * n))
+                if drop >= n:
+                    raise ValueError(
+                        f"cannot drop {drop} observations from light "
+                        f"curve containing {n} points")
+                if drop > 0:
+                    keep = np.sort(rng.choice(n, n - drop, replace=False))
+                    arrays = [a[keep] for a in arrays]
+                maps.append(eval_one(*arrays))
+            batch = np.stack(maps)
+            yield (idx, batch) if yield_index else batch
+
+    def points_batches(self, lcs, *, sorted=None, batch_size=128,
+                       yield_index=False, shuffle=False, drop_nobs=0,
+                       random_seed=None):
+        return self._batches(
+            lcs, lambda t, m: self.points(t, m, sorted), batch_size,
+            yield_index, shuffle, drop_nobs, random_seed)
+
+    def gausses_batches(self, lcs, *, sorted=None, batch_size=128,
+                        yield_index=False, shuffle=False, drop_nobs=0,
+                        random_seed=None):
+        return self._batches(
+            lcs, lambda t, m, s: self.gausses(t, m, s, sorted),
+            batch_size, yield_index, shuffle, drop_nobs, random_seed)
+
 
 class RainbowFit:
     """Reference RainbowFit façade over ``rainbow_fit_arrays``

@@ -202,3 +202,33 @@ def test_transform_argument(curve):
     # evaluator in the reference)
     assert lc.Kurtosis(transform="arcsinh")(
         t[:2], m[:2], fill_value=-7.0) == -7.0
+
+
+def test_dmdt_batches(curve):
+    t, m, sigma = curve
+    d = lc.DmDt.from_borders(-1.0, 1.0, 4, 2.0, 4)
+    lcs = [(t, m), (t, 2 * m), (t[:40], m[:40])]
+    batches = list(d.points_batches(lcs, batch_size=2))
+    assert [b.shape for b in batches] == [(2, 4, 4), (1, 4, 4)]
+    np.testing.assert_array_equal(batches[0][0], d.points(t, m))
+    # seeded shuffle + yield_index are deterministic
+    a = list(d.points_batches(lcs, batch_size=3, shuffle=True,
+                              yield_index=True, random_seed=5))
+    b = list(d.points_batches(lcs, batch_size=3, shuffle=True,
+                              yield_index=True, random_seed=5))
+    np.testing.assert_array_equal(a[0][0], b[0][0])
+    assert sorted(a[0][0]) == [0, 1, 2]
+    # erosion: fewer pairs than the full map, deterministic under seed
+    full = d.points(t, m).sum()
+    e1 = list(d.points_batches([(t, m)], drop_nobs=0.5, random_seed=1))
+    e2 = list(d.points_batches([(t, m)], drop_nobs=0.5, random_seed=1))
+    np.testing.assert_array_equal(e1[0], e2[0])
+    assert e1[0].sum() < full
+    # validation mirrors the reference (dmdt.rs:476-520)
+    with pytest.raises(ValueError, match=r"\[0\.0, 1\.0\)"):
+        list(d.points_batches(lcs, drop_nobs=1.5))
+    with pytest.raises(ValueError, match="cannot drop"):
+        list(d.points_batches([(t[:3], m[:3])], drop_nobs=3))
+    # gausses variant
+    g = list(d.gausses_batches([(t, m, sigma)], batch_size=1))
+    np.testing.assert_array_equal(g[0][0], d.gausses(t, m, sigma))
