@@ -108,6 +108,11 @@ class _FeatureBase:
 
     def __init__(self, *args, bands: Optional[Sequence[str]] = None,
                  transform=None, **kwargs):
+        if len(args) > len(self._param_names):
+            raise TypeError(
+                f"{type(self).__name__} takes at most "
+                f"{len(self._param_names)} positional arguments "
+                f"({len(args)} given)")
         params = dict(zip(self._param_names, args))
         overlap = set(params) & set(kwargs)
         if overlap:
@@ -136,10 +141,11 @@ class _FeatureBase:
 
     # -- evaluation --------------------------------------------------
     def _eval_arrays(self, t, m, sigma, fill_value):
+        from .functions.kernels import EVAL_ERRORS
         try:
             out = evaluate_kernel(self._kernel, t, m, sigma,
                                   fill_value=None)
-        except (ValueError, ZeroDivisionError, RuntimeError) as e:
+        except EVAL_ERRORS as e:
             # the reference propagates the error when fill_value is None
             # and fills UNTRANSFORMED otherwise (fill wraps the
             # transformed evaluator, features.rs:1374-1379)
@@ -233,6 +239,12 @@ class _FitBase(_FeatureBase):
         # the reference's fit transformers are a documented divergence
         # (transforms.py DEFAULT_TRANSFORMS note) — identity here
         self._transform = None
+        # the per-algorithm iteration knobs steer the single LM budget:
+        # the largest explicitly-passed knob wins over the default
+        knobs = [k for k in (mcmc_niter, lmsder_niter, ceres_niter,
+                             nuts_niter) if k is not None]
+        if knobs:
+            max_iter = max(int(k) for k in knobs)
         params = {"max_iter": max_iter}
         if init is not None:
             params["init"] = init
@@ -343,6 +355,18 @@ class Bins:
         return self.extractor(bt, bm, bs, sorted=True, check=False,
                               fill_value=fill_value)
 
+    def many(self, lcs, *, sorted=None, check=True, fill_value=None,
+             n_jobs=1):
+        return np.stack([
+            np.atleast_1d(self(*lc, sorted=sorted, check=check,
+                               fill_value=fill_value)) for lc in lcs])
+
+    def to_spark(self):
+        raise NotImplementedError(
+            "Bins is a rebinning meta-feature; on the Spark path compose "
+            "operators.bins.bin_series(df, window=..., offset=...) with "
+            "FeatureExtractor(inner.to_spark()) instead of a spec tuple")
+
 
 class DmDt:
     """Reference DmDt map (src/dmdt.rs) over this engine's kernels:
@@ -355,6 +379,10 @@ class DmDt:
         self.dt_edges = grid_edges(dt_edges, "asis")
         self.dm_edges = grid_edges(dm_edges, "asis")
         self.norm = tuple(norm)
+        unknown = set(self.norm) - {"dt", "max"}
+        if unknown:
+            raise ValueError(f"unknown norm values {sorted(unknown)}; "
+                             f"supported: 'dt', 'max'")
 
     @classmethod
     def from_borders(cls, min_lgdt, max_lgdt, lgdt_size, max_abs_dm,
@@ -387,7 +415,8 @@ class DmDt:
 
     def count_dt(self, t, sorted=None):
         from .operators.dmdt import count_dt_kernel
-        t = np.asarray(t, dtype=np.float64)
+        t, _, _, _ = _normalize_input(t, np.zeros(len(t)), None, None,
+                                      sorted, True)
         return count_dt_kernel(t, self.dt_edges)
 
     def points_many(self, lcs, sorted=None):
@@ -403,6 +432,17 @@ class DmDt:
     # -- batch iterators (src/dmdt.rs:244-283 GenericDmDtBatches) -----
     def _batches(self, lcs, eval_one, batch_size, yield_index, shuffle,
                  drop_nobs, random_seed):
+        if isinstance(drop_nobs, float) and not 0.0 <= drop_nobs < 1.0:
+            # validate at CALL time (the reference rejects the argument
+            # up front, dmdt.rs:476-481); the body below is a generator
+            # and would only raise at first iteration
+            raise ValueError(
+                "if drop_nobs is float, it must be in [0.0, 1.0)")
+        return self._batches_gen(lcs, eval_one, batch_size, yield_index,
+                                 shuffle, drop_nobs, random_seed)
+
+    def _batches_gen(self, lcs, eval_one, batch_size, yield_index,
+                     shuffle, drop_nobs, random_seed):
         """The reference's batches contract: iterate the curves once (one
         epoch) in ``batch_size`` groups, optionally shuffled, each curve
         eroded by ``drop_nobs`` observations (int count or
@@ -411,9 +451,6 @@ class DmDt:
         seeded Generator rather than Xoshiro256++: same distributional
         contract, different stream.  At scale the same erosion is
         ``operators.dmdt.erode_observations`` (deterministic md5-rank)."""
-        if isinstance(drop_nobs, float) and not 0.0 <= drop_nobs < 1.0:
-            raise ValueError(
-                "if drop_nobs is float, it must be in [0.0, 1.0)")
         rng = np.random.default_rng(random_seed)
         order = rng.permutation(len(lcs)) if shuffle \
             else np.arange(len(lcs))
@@ -465,19 +502,30 @@ class RainbowFit:
     def from_angstrom(cls, band_wave_aa: Dict[str, float], **opts):
         return cls({b: w * 1e-8 for b, w in band_wave_aa.items()}, **opts)
 
+    @property
+    def size(self):
+        """Output length = params (+ per-band baselines) (+ one error per
+        parameter when with_errors) + r_chisq — the exact layout of
+        rainbow_fit_arrays (rainbow.py:578)."""
+        from .functions.rainbow import rainbow_param_names
+        n_par = len(rainbow_param_names(
+            self.opts.get("bolometric", "bazin"),
+            self.opts.get("temperature", "sigmoid"),
+            self.opts.get("spectral", "planck")))
+        if self.opts.get("with_baseline", True):
+            n_par += len(self.band_wave_cm)
+        return n_par * (2 if self.opts.get("with_errors") else 1) + 1
+
     def __call__(self, t, m, sigma, band, *, sorted=None, check=True,
                  fill_value=None):
+        from .functions.kernels import EVAL_ERRORS
         from .functions.rainbow import rainbow_fit_arrays
         t, m, sigma, band = _normalize_input(t, m, sigma, band, sorted,
                                              check)
         try:
             return rainbow_fit_arrays(t, m, sigma, band,
                                       self.band_wave_cm, **self.opts)
-        except (ValueError, ZeroDivisionError, RuntimeError):
+        except EVAL_ERRORS:
             if fill_value is None:
                 raise
-            from .functions.rainbow import rainbow_param_names
-            names = rainbow_param_names(
-                self.opts.get("bolometric", "bazin"),
-                self.opts.get("temperature", "sigmoid"))
-            return np.full(len(names) + 1, fill_value)
+            return np.full(self.size, float(fill_value))

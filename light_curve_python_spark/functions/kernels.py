@@ -1059,6 +1059,12 @@ _CTX_IMPLS: Dict[str, Callable[..., Callable]] = {
 # evaluation helpers (fill_value semantics of features/_base.py:28-43)
 # --------------------------------------------------------------------------
 
+# the error classes the fill contract converts into fill rows — shared
+# with the compat facade so both surfaces fill on the same failures
+EVAL_ERRORS = (ValueError, ZeroDivisionError, RuntimeError,
+               FloatingPointError, IndexError)
+
+
 def evaluate_kernel(kernel: Kernel, t, m, sigma=None,
                     fill_value: Optional[float] = np.nan,
                     ctx: Optional[WindowContext] = None) -> np.ndarray:
@@ -1080,8 +1086,7 @@ def evaluate_kernel(kernel: Kernel, t, m, sigma=None,
         if np.any(~np.isfinite(out)):
             raise ValueError("non-finite output")
         return out
-    except (ValueError, ZeroDivisionError, RuntimeError, FloatingPointError,
-            IndexError):
+    except EVAL_ERRORS:
         if fill_value is None:
             raise
         return np.full(kernel.size, float(fill_value))

@@ -65,10 +65,11 @@ def test_normalization_contract(curve):
     tt[1] = tt[0]
     with pytest.raises(ValueError, match="unique"):
         lc.Mean()(tt, m)
-    # sorted=False argsorts — order-sensitive feature agrees
-    idx = np.argsort(t, kind="stable")
-    shuffled = np.argsort(idx)  # any permutation; use reverse
-    assert lc.Eta()(t[::-1], m[::-1], sorted=False) == \
+    # sorted=False argsorts — order-sensitive feature agrees under an
+    # arbitrary permutation, not just reversal
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(t))
+    assert lc.Eta()(t[perm], m[perm], sorted=False) == \
         pytest.approx(lc.Eta()(t, m))
     # check=True rejects non-finite
     bad = m.copy()
@@ -232,3 +233,51 @@ def test_dmdt_batches(curve):
     # gausses variant
     g = list(d.gausses_batches([(t, m, sigma)], batch_size=1))
     np.testing.assert_array_equal(g[0][0], d.gausses(t, m, sigma))
+
+
+def test_review_fixes_compat(curve):
+    t, m, sigma = curve
+    # extra positional args raise instead of being silently dropped
+    with pytest.raises(TypeError, match="positional"):
+        lc.BeyondNStd(2.0, 99.0)
+    with pytest.raises(TypeError, match="positional"):
+        lc.Amplitude(123)
+    # fit iteration knobs steer the LM budget
+    f = lc.BazinFit("mcmc-lmsder", mcmc_niter=7, lmsder_niter=12)
+    assert f._params["max_iter"] == 12
+    # DmDt.count_dt validates/normalizes like points
+    d = lc.DmDt.from_borders(-1.0, 1.0, 4, 2.0, 4)
+    np.testing.assert_array_equal(
+        d.count_dt(t[::-1], sorted=False), d.count_dt(t))
+    with pytest.raises(ValueError, match="sorted"):
+        d.count_dt(t[::-1])
+    # unknown norm values rejected
+    with pytest.raises(ValueError, match="unknown norm"):
+        lc.DmDt.from_borders(-1.0, 1.0, 4, 2.0, 4, norm=("lgdt",))
+    # drop_nobs range validated at the call, not first iteration
+    with pytest.raises(ValueError, match=r"\[0\.0, 1\.0\)"):
+        d.points_batches([(t, m)], drop_nobs=1.5)
+    # Bins inside Extractor: many works, to_spark errors with guidance
+    ex = lc.Extractor(lc.Mean(), lc.Bins([lc.Mean()], window=2.0))
+    assert ex.many([(t, m, sigma)]).shape == (1, 2)
+    with pytest.raises(NotImplementedError, match="bin_series"):
+        ex.to_spark()
+
+
+def test_rainbow_fill_length_matches_success():
+    from light_curve_python_spark.functions.fits import bazin_model
+    waves = {"g": 4.8e-5, "r": 6.2e-5}
+    rf = lc.RainbowFit(waves)
+    rng = np.random.default_rng(2)
+    t = np.sort(rng.uniform(0, 60, 120))
+    band = np.where(np.arange(120) % 2 == 0, "g", "r")
+    m = bazin_model(t, 100.0, 5.0, 25.0, 4.0, 18.0) + \
+        rng.normal(0, 0.5, 120)
+    sigma = np.full(120, 0.5)
+    ok = rf(t, m, sigma, band)
+    filled = rf(t[:3], m[:3], sigma[:3], band[:3], fill_value=np.nan)
+    assert len(ok) == len(filled) == rf.size
+    rf_err = lc.RainbowFit(waves, with_errors=True)
+    filled_e = rf_err(t[:3], m[:3], sigma[:3], band[:3],
+                      fill_value=np.nan)
+    assert len(filled_e) == rf_err.size == 2 * (len(ok) - 1) + 1
