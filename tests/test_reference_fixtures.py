@@ -160,3 +160,16 @@ def test_otsu_threshold_sort_invariance():
                         fill_value=None)
     np.testing.assert_allclose(a, b, rtol=1e-12)
     assert a[3] == pytest.approx(1 / 3, rel=1e-4)  # one point below thr 0.5
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_reference_fixture_through_compat(case):
+    """The same reference (input, desired) pairs routed through the
+    class-style compat facade — ties the reference-shaped API surface
+    directly to the reference's published facts, not just the kernels."""
+    from light_curve_python_spark import compat
+    _, key, params, t, m, sigma, want, rtol = case
+    cls = getattr(compat, "".join(p.capitalize() for p in key.split("_")))
+    got = cls(**params)(np.asarray(t, float), np.asarray(m, float),
+                        None if sigma is None else np.asarray(sigma, float))
+    np.testing.assert_allclose(np.atleast_1d(got), want, rtol=rtol)
