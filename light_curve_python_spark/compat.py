@@ -517,14 +517,22 @@ class RainbowFit:
         return n_par * (2 if self.opts.get("with_errors") else 1) + 1
 
     def __call__(self, t, m, sigma, band, *, sorted=None, check=True,
-                 fill_value=None):
+                 fill_value=None, upper_mask=None):
         from .functions.kernels import EVAL_ERRORS
         from .functions.rainbow import rainbow_fit_arrays
+        if upper_mask is not None and (sorted is not None and not sorted):
+            # the argsort below would have to permute the mask too;
+            # require pre-sorted input with a mask (the reference's
+            # MaximumLikelihood path also takes aligned arrays)
+            upper_mask = np.asarray(upper_mask, bool)[
+                np.argsort(np.asarray(t, dtype=np.float64),
+                           kind="stable")]
         t, m, sigma, band = _normalize_input(t, m, sigma, band, sorted,
                                              check)
         try:
             return rainbow_fit_arrays(t, m, sigma, band,
-                                      self.band_wave_cm, **self.opts)
+                                      self.band_wave_cm,
+                                      upper_mask=upper_mask, **self.opts)
         except EVAL_ERRORS:
             if fill_value is None:
                 raise

@@ -281,3 +281,24 @@ def test_rainbow_fill_length_matches_success():
     filled_e = rf_err(t[:3], m[:3], sigma[:3], band[:3],
                       fill_value=np.nan)
     assert len(filled_e) == rf_err.size == 2 * (len(ok) - 1) + 1
+
+
+def test_rainbow_upper_mask_call_arg():
+    """upper_mask at call time (the reference's censored-point contract):
+    censoring the faint tail must change the fit relative to treating
+    the limits as detections."""
+    from light_curve_python_spark.functions.fits import bazin_model
+    waves = {"g": 4.8e-5, "r": 6.2e-5}
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.uniform(0, 60, 100))
+    band = np.where(np.arange(100) % 2 == 0, "g", "r")
+    m = bazin_model(t, 100.0, 5.0, 25.0, 4.0, 18.0) + \
+        rng.normal(0, 0.5, 100)
+    sigma = np.full(100, 0.5)
+    mask = m < 10.0
+    m_cens = np.where(mask, 10.0, m)  # upper limits at the detection floor
+    rf = lc.RainbowFit(waves)
+    det = rf(t, m_cens, sigma, band)
+    cens = rf(t, m_cens, sigma, band, upper_mask=mask)
+    assert len(det) == len(cens) == rf.size
+    assert not np.allclose(det, cens)
