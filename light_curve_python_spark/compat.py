@@ -489,6 +489,92 @@ class DmDt:
             batch_size, yield_index, shuffle, drop_nobs, random_seed)
 
 
+class _ColorBase:
+    """Reference multiband color features (features.rs:3676-3782):
+    ``ColorOf*(bands)`` with exactly two passbands, output
+    ``agg(m[bands[0]]) - agg(m[bands[1]])``; ``ColorSpread(bands)`` with
+    >= 2 passbands, population std of the per-band weighted means.
+    Backed by functions/multiband.py's numpy forms (the Spark twins are
+    color_features_sql / color_spread_sql)."""
+
+    _agg: Optional[str] = None  # None => spread
+    _min_bands = 2
+
+    def __init__(self, bands, *, transform=None):
+        bands = list(bands)
+        if self._agg is not None and len(bands) != 2:
+            raise ValueError(f"bands must contain exactly 2 passbands, "
+                             f"got {len(bands)}")
+        if self._agg is None and len(bands) < 2:
+            raise ValueError(f"bands must contain at least 2 passbands, "
+                             f"got {len(bands)}")
+        self.bands = bands
+        self._transform = _resolve_transform("", transform)
+
+    @property
+    def names(self):
+        if self._agg is not None:
+            return (f"color_{self._agg}_{self.bands[0]}_{self.bands[1]}",)
+        return ("color_spread_" + "_".join(self.bands),)
+
+    size = property(lambda self: 1)
+
+    def __call__(self, t, m, sigma=None, band=None, *, sorted=None,
+                 check=True, fill_value=None):
+        from .functions.kernels import EVAL_ERRORS
+        from .functions.multiband import color_of, color_spread
+        t, m, sigma, band = _normalize_input(t, m, sigma, band, sorted,
+                                             check)
+        if band is None:
+            raise ValueError("band is required")
+        codes = np.full(len(band), -1, dtype=np.int8)
+        for i, b in enumerate(self.bands):
+            codes[band == b] = i
+        try:
+            if self._agg is not None:
+                out = color_of(self._agg, m, codes, 0, 1)
+            else:
+                if sigma is None:
+                    raise ValueError("ColorSpread requires sigma")
+                out = color_spread(m, sigma, codes, len(self.bands))
+            if not np.isfinite(out):
+                raise ValueError("non-finite output")
+        except EVAL_ERRORS:
+            if fill_value is None:
+                raise
+            return float(fill_value)
+        if self._transform is not None:
+            from .functions.transforms import apply_transform_numpy
+            out = float(apply_transform_numpy(self._transform, out))
+        return out
+
+    def many(self, lcs, *, sorted=None, check=True, fill_value=None,
+             n_jobs=1):
+        return np.stack([
+            np.atleast_1d(self(*lc, sorted=sorted, check=check,
+                               fill_value=fill_value)) for lc in lcs])
+
+
+class ColorOfMaximum(_ColorBase):
+    _agg = "max"
+
+
+class ColorOfMedian(_ColorBase):
+    _agg = "median"
+
+
+class ColorOfMinimum(_ColorBase):
+    _agg = "min"
+
+
+class ColorSpread(_ColorBase):
+    _agg = None
+
+
+__all__ += ["ColorOfMaximum", "ColorOfMedian", "ColorOfMinimum",
+            "ColorSpread"]
+
+
 class RainbowFit:
     """Reference RainbowFit façade over ``rainbow_fit_arrays``
     (functions/rainbow.py): multiband MAP fit of the Bazin × sigmoid-T ×

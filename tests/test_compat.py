@@ -17,7 +17,8 @@ MinimumTimeInterval ObservationCount OtsuSplit PercentAmplitude
 PercentDifferenceMagnitudePercentile Periodogram ReducedChi2 Roms Skew
 StandardDeviation StetsonK TimeMean TimeStandardDeviation VillarFit
 WeightedMean FluxNNotDetBeforeFd MagnitudeNNotDetBeforeFd PeakToPeakVar
-Extractor DmDt Bins RainbowFit""".split()
+Extractor DmDt Bins RainbowFit ColorOfMaximum ColorOfMedian
+ColorOfMinimum ColorSpread""".split()
 
 
 @pytest.fixture()
@@ -302,3 +303,30 @@ def test_rainbow_upper_mask_call_arg():
     cens = rf(t, m_cens, sigma, band, upper_mask=mask)
     assert len(det) == len(cens) == rf.size
     assert not np.allclose(det, cens)
+
+
+def test_color_features(curve):
+    t, m, sigma = curve
+    band = np.where(np.arange(len(t)) % 2 == 0, "g", "r")
+    g, r = m[band == "g"], m[band == "r"]
+    assert lc.ColorOfMaximum(["g", "r"])(t, m, sigma, band) == \
+        pytest.approx(g.max() - r.max())
+    assert lc.ColorOfMedian(["g", "r"])(t, m, sigma, band) == \
+        pytest.approx(np.median(g) - np.median(r))
+    assert lc.ColorOfMinimum(["r", "g"])(t, m, sigma, band) == \
+        pytest.approx(r.min() - g.min())
+    # spread: population std of the per-band inverse-variance means
+    wg = np.average(g, weights=sigma[band == "g"] ** -2.0)
+    wr = np.average(r, weights=sigma[band == "r"] ** -2.0)
+    assert lc.ColorSpread(["g", "r"])(t, m, sigma, band) == \
+        pytest.approx(np.std([wg, wr]))
+    # contract guards mirror the reference ctor (features.rs:3768-3771)
+    with pytest.raises(ValueError, match="2 passbands"):
+        lc.ColorOfMaximum(["g"])
+    with pytest.raises(ValueError, match="at least 2"):
+        lc.ColorSpread(["g"])
+    with pytest.raises(ValueError, match="band is required"):
+        lc.ColorOfMaximum(["g", "r"])(t, m, sigma)
+    # a band absent from the data fills instead of raising
+    assert lc.ColorOfMaximum(["g", "z"])(t, m, sigma, band,
+                                         fill_value=-9.0) == -9.0
