@@ -355,17 +355,28 @@ class Bins:
         return self.extractor(bt, bm, bs, sorted=True, check=False,
                               fill_value=fill_value)
 
-    def many(self, lcs, *, sorted=None, check=True, fill_value=None,
-             n_jobs=1):
-        return np.stack([
-            np.atleast_1d(self(*lc, sorted=sorted, check=check,
-                               fill_value=fill_value)) for lc in lcs])
+    many = _FeatureBase.many
 
     def to_spark(self):
         raise NotImplementedError(
             "Bins is a rebinning meta-feature; on the Spark path compose "
             "operators.bins.bin_series(df, window=..., offset=...) with "
             "FeatureExtractor(inner.to_spark()) instead of a spec tuple")
+
+
+class _ReusableBatches:
+    """Reusable iterable, like the reference's ``*Batches`` objects
+    ("Gives a reusable iterable", dmdt.rs:851-854): every ``iter()``
+    yields one fresh epoch.  The RNG lives on the object and its stream
+    continues across epochs, as the reference's shared Xoshiro does —
+    re-iterating with ``shuffle``/``drop_nobs`` draws new permutations."""
+
+    def __init__(self, gen_fn, random_seed):
+        self._gen_fn = gen_fn
+        self._rng = np.random.default_rng(random_seed)
+
+    def __iter__(self):
+        return self._gen_fn(self._rng)
 
 
 class DmDt:
@@ -432,17 +443,28 @@ class DmDt:
     # -- batch iterators (src/dmdt.rs:244-283 GenericDmDtBatches) -----
     def _batches(self, lcs, eval_one, batch_size, yield_index, shuffle,
                  drop_nobs, random_seed):
-        if isinstance(drop_nobs, float) and not 0.0 <= drop_nobs < 1.0:
-            # validate at CALL time (the reference rejects the argument
-            # up front, dmdt.rs:476-481); the body below is a generator
-            # and would only raise at first iteration
-            raise ValueError(
-                "if drop_nobs is float, it must be in [0.0, 1.0)")
-        return self._batches_gen(lcs, eval_one, batch_size, yield_index,
-                                 shuffle, drop_nobs, random_seed)
+        # validate at CALL time (the reference rejects the argument up
+        # front, dmdt.rs:476-481); accept numpy scalars like the
+        # reference's pyo3 extraction does
+        if isinstance(drop_nobs, (bool, np.bool_)) or not isinstance(
+                drop_nobs, (int, float, np.integer, np.floating)):
+            raise TypeError("drop_nobs must be an int or a float")
+        if isinstance(drop_nobs, (float, np.floating)):
+            drop_nobs = float(drop_nobs)
+            if not 0.0 <= drop_nobs < 1.0:
+                raise ValueError(
+                    "if drop_nobs is float, it must be in [0.0, 1.0)")
+        else:
+            drop_nobs = int(drop_nobs)
+            if drop_nobs < 0:
+                raise ValueError("drop_nobs must be non-negative")
+        return _ReusableBatches(
+            lambda rng: self._batches_gen(lcs, eval_one, batch_size,
+                                          yield_index, shuffle, drop_nobs,
+                                          rng), random_seed)
 
     def _batches_gen(self, lcs, eval_one, batch_size, yield_index,
-                     shuffle, drop_nobs, random_seed):
+                     shuffle, drop_nobs, rng):
         """The reference's batches contract: iterate the curves once (one
         epoch) in ``batch_size`` groups, optionally shuffled, each curve
         eroded by ``drop_nobs`` observations (int count or
@@ -451,7 +473,6 @@ class DmDt:
         seeded Generator rather than Xoshiro256++: same distributional
         contract, different stream.  At scale the same erosion is
         ``operators.dmdt.erode_observations`` (deterministic md5-rank)."""
-        rng = np.random.default_rng(random_seed)
         order = rng.permutation(len(lcs)) if shuffle \
             else np.arange(len(lcs))
         for lo in range(0, len(lcs), batch_size):
@@ -474,14 +495,14 @@ class DmDt:
             batch = np.stack(maps)
             yield (idx, batch) if yield_index else batch
 
-    def points_batches(self, lcs, *, sorted=None, batch_size=128,
+    def points_batches(self, lcs, *, sorted=None, batch_size=1,
                        yield_index=False, shuffle=False, drop_nobs=0,
                        random_seed=None):
         return self._batches(
             lcs, lambda t, m: self.points(t, m, sorted), batch_size,
             yield_index, shuffle, drop_nobs, random_seed)
 
-    def gausses_batches(self, lcs, *, sorted=None, batch_size=128,
+    def gausses_batches(self, lcs, *, sorted=None, batch_size=1,
                         yield_index=False, shuffle=False, drop_nobs=0,
                         random_seed=None):
         return self._batches(
@@ -498,7 +519,6 @@ class _ColorBase:
     color_features_sql / color_spread_sql)."""
 
     _agg: Optional[str] = None  # None => spread
-    _min_bands = 2
 
     def __init__(self, bands, *, transform=None):
         bands = list(bands)
@@ -508,8 +528,12 @@ class _ColorBase:
         if self._agg is None and len(bands) < 2:
             raise ValueError(f"bands must contain at least 2 passbands, "
                              f"got {len(bands)}")
+        if transform is not None:
+            # the reference rejects transform for color features
+            # (features.rs color_two_band_feature! / ColorSpread __new__)
+            raise NotImplementedError(
+                f"{type(self).__name__} does not support transform")
         self.bands = bands
-        self._transform = _resolve_transform("", transform)
 
     @property
     def names(self):
@@ -527,6 +551,10 @@ class _ColorBase:
                                              check)
         if band is None:
             raise ValueError("band is required")
+        if self._agg is None and sigma is None:
+            # usage error — raise even under fill_value (only data-shaped
+            # evaluation failures fill)
+            raise ValueError("ColorSpread requires sigma")
         codes = np.full(len(band), -1, dtype=np.int8)
         for i, b in enumerate(self.bands):
             codes[band == b] = i
@@ -534,8 +562,6 @@ class _ColorBase:
             if self._agg is not None:
                 out = color_of(self._agg, m, codes, 0, 1)
             else:
-                if sigma is None:
-                    raise ValueError("ColorSpread requires sigma")
                 out = color_spread(m, sigma, codes, len(self.bands))
             if not np.isfinite(out):
                 raise ValueError("non-finite output")
@@ -543,16 +569,15 @@ class _ColorBase:
             if fill_value is None:
                 raise
             return float(fill_value)
-        if self._transform is not None:
-            from .functions.transforms import apply_transform_numpy
-            out = float(apply_transform_numpy(self._transform, out))
         return out
 
-    def many(self, lcs, *, sorted=None, check=True, fill_value=None,
-             n_jobs=1):
-        return np.stack([
-            np.atleast_1d(self(*lc, sorted=sorted, check=check,
-                               fill_value=fill_value)) for lc in lcs])
+    many = _FeatureBase.many
+
+    def to_spark(self):
+        raise NotImplementedError(
+            "color features are DataFrame-level multiband ops on the "
+            "Spark path; use functions.multiband.color_features_sql / "
+            "color_spread_sql instead of a spec tuple")
 
 
 class ColorOfMaximum(_ColorBase):
@@ -607,12 +632,16 @@ class RainbowFit:
         from .functions.kernels import EVAL_ERRORS
         from .functions.rainbow import rainbow_fit_arrays
         if upper_mask is not None and (sorted is not None and not sorted):
-            # the argsort below would have to permute the mask too;
-            # require pre-sorted input with a mask (the reference's
-            # MaximumLikelihood path also takes aligned arrays)
-            upper_mask = np.asarray(upper_mask, bool)[
-                np.argsort(np.asarray(t, dtype=np.float64),
-                           kind="stable")]
+            # _normalize_input argsorts t/m/sigma/band below; permute the
+            # mask by the same stable order so it stays aligned (validate
+            # the length first — a too-long mask would otherwise be
+            # silently truncated by the fancy index and slip past
+            # rainbow_fit_arrays' shape check)
+            upper_mask = np.asarray(upper_mask, bool)
+            tt = np.asarray(t, dtype=np.float64)
+            if upper_mask.shape != tt.shape:
+                raise ValueError("upper_mask must align with t/m/sigma")
+            upper_mask = upper_mask[np.argsort(tt, kind="stable")]
         t, m, sigma, band = _normalize_input(t, m, sigma, band, sorted,
                                              check)
         try:

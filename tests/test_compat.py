@@ -234,6 +234,18 @@ def test_dmdt_batches(curve):
     # gausses variant
     g = list(d.gausses_batches([(t, m, sigma)], batch_size=1))
     np.testing.assert_array_equal(g[0][0], d.gausses(t, m, sigma))
+    # reference defaults: batch_size=1, and the return value is a
+    # REUSABLE iterable (dmdt.rs:851-854) — a second epoch re-yields
+    it = d.points_batches(lcs)
+    assert [b.shape for b in it] == [(1, 4, 4)] * 3
+    assert len(list(it)) == 3
+    # numpy ints count observations (not fractions); negatives rejected
+    a = list(d.points_batches([(t, m)], drop_nobs=2, random_seed=3))
+    b = list(d.points_batches([(t, m)], drop_nobs=np.int64(2),
+                              random_seed=3))
+    np.testing.assert_array_equal(a[0], b[0])
+    with pytest.raises(ValueError, match="non-negative"):
+        d.points_batches(lcs, drop_nobs=-1)
 
 
 def test_review_fixes_compat(curve):
@@ -330,3 +342,12 @@ def test_color_features(curve):
     # a band absent from the data fills instead of raising
     assert lc.ColorOfMaximum(["g", "z"])(t, m, sigma, band,
                                          fill_value=-9.0) == -9.0
+    # transform rejected like the reference (features.rs __new__)
+    with pytest.raises(NotImplementedError, match="transform"):
+        lc.ColorOfMaximum(["g", "r"], transform="arcsinh")
+    # missing sigma is a usage error, not a fillable evaluation failure
+    with pytest.raises(ValueError, match="requires sigma"):
+        lc.ColorSpread(["g", "r"])(t, m, None, band, fill_value=-9.0)
+    # to_spark errors with guidance instead of AttributeError
+    with pytest.raises(NotImplementedError, match="color_features_sql"):
+        lc.Extractor(lc.ColorOfMaximum(["g", "r"])).to_spark()

@@ -169,7 +169,7 @@ def test_reference_fixture_through_compat(case):
     directly to the reference's published facts, not just the kernels."""
     from light_curve_python_spark import compat
     _, key, params, t, m, sigma, want, rtol = case
-    cls = getattr(compat, "".join(p.capitalize() for p in key.split("_")))
+    cls = getattr(compat, compat._camel(key))
     got = cls(**params)(np.asarray(t, float), np.asarray(m, float),
                         None if sigma is None else np.asarray(sigma, float))
     np.testing.assert_allclose(np.atleast_1d(got), want, rtol=rtol)
