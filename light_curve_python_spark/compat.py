@@ -41,7 +41,8 @@ import numpy as np
 from .functions.kernels import (ensure_lazy_factories, evaluate_kernel,
                                 make_kernel)
 
-__all__ = ["Extractor", "DmDt", "Bins", "RainbowFit"]  # + generated below
+__all__ = ["Extractor", "DmDt", "Bins", "RainbowFit",
+           "feature_from_json"]  # + generated below
 
 
 def _normalize_input(t, m, sigma, band, sorted, check):
@@ -192,6 +193,25 @@ class _FeatureBase:
         return (self._key, dict(self._params)) if self._params \
             else self._key
 
+    # -- serialization (the reference's pickle + JSON surface) --------
+    def _spec(self):
+        return {"name": type(self).__name__, "params": dict(self._params),
+                "bands": self._bands, "transform": self._transform,
+                "extra": {k: getattr(self, k)
+                          for k in getattr(self, "_extra_state", ())}}
+
+    def __reduce__(self):
+        # kernels close over lambdas, so pickle ships the SPEC and
+        # rebuilds the kernel on load (the same device as plans/spec.py)
+        return (_feature_from_spec, (self._spec(),))
+
+    def to_json(self) -> str:
+        """Engine-format JSON spec (NOT the reference's serde format —
+        cross-engine JSON was never portable); load with
+        ``feature_from_json``."""
+        import json
+        return json.dumps(self._spec())
+
     def __repr__(self):
         args = ", ".join(f"{k}={v!r}" for k, v in self._params.items())
         return f"{type(self).__name__}({args})"
@@ -199,6 +219,27 @@ class _FeatureBase:
 
 def _camel(key: str) -> str:
     return "".join(p.capitalize() for p in key.split("_"))
+
+
+def _feature_from_spec(spec: dict):
+    """Rebuild a facade feature from its serialized spec (pickle/JSON)."""
+    import sys
+    cls = getattr(sys.modules[__name__], spec["name"])
+    obj = object.__new__(cls)
+    obj._params = dict(spec["params"])
+    obj._bands = spec["bands"]
+    obj._transform = spec["transform"]
+    obj._kernel = make_kernel(cls._key, **obj._params)
+    for k, v in spec.get("extra", {}).items():
+        setattr(obj, k, v)
+    return obj
+
+
+def feature_from_json(s: str):
+    """Inverse of ``Feature.to_json`` (the reference's
+    JsonDeserializedFeature role, for THIS engine's spec format)."""
+    import json
+    return _feature_from_spec(json.loads(s))
 
 
 def _make_class(key: str):
@@ -223,6 +264,7 @@ class _FitBase(_FeatureBase):
     accepted for source compatibility and folded into ``max_iter``."""
 
     _FIT_PARAMS = ("init", "bounds", "max_iter", "ln_prior")
+    _extra_state = ("algorithm",)
 
     def __init__(self, algorithm: str = "mcmc-lmsder", *,
                  init=None, bounds=None, ln_prior=None, max_iter=100,
@@ -305,6 +347,9 @@ class Extractor:
 
     def to_spark(self):
         return [f.to_spark() for f in self.features]
+
+    def __reduce__(self):
+        return (Extractor, tuple(self.features))
 
 
 class Bins:

@@ -351,3 +351,26 @@ def test_color_features(curve):
     # to_spark errors with guidance instead of AttributeError
     with pytest.raises(NotImplementedError, match="color_features_sql"):
         lc.Extractor(lc.ColorOfMaximum(["g", "r"])).to_spark()
+
+
+def test_pickle_and_json_roundtrip(curve):
+    import pickle
+    t, m, sigma = curve
+    feats = [lc.Amplitude(), lc.BeyondNStd(2.0, transform="arcsinh"),
+             lc.Mean(bands=["g", "r"]), lc.BazinFit("mcmc", max_iter=50)]
+    band = np.where(np.arange(len(t)) % 2 == 0, "g", "r")
+    for f in feats:
+        g = pickle.loads(pickle.dumps(f))
+        kw = {"band": band} if f.is_band_required else {}
+        np.testing.assert_array_equal(
+            np.atleast_1d(f(t, m, sigma, fill_value=np.nan, **kw)),
+            np.atleast_1d(g(t, m, sigma, fill_value=np.nan, **kw)))
+    assert pickle.loads(pickle.dumps(lc.BazinFit("mcmc"))).algorithm == \
+        "mcmc"
+    ex = pickle.loads(pickle.dumps(lc.Extractor(lc.Mean(), lc.Skew())))
+    assert ex.names == ("mean", "skew")
+    # JSON spec round trip (engine format, feature_from_json inverse)
+    f = lc.BeyondNStd(1.5, transform="lg")
+    g = lc.feature_from_json(f.to_json())
+    assert g(t, np.abs(m) + 1.0) == pytest.approx(
+        f(t, np.abs(m) + 1.0))
