@@ -169,3 +169,69 @@ def test_extirpolate_preserves_trig_sums(seed, npts, n, macc):
     got = np.sum(wk * np.exp(-2 * np.pi * 1j * np.arange(n) * j / n))
     scale = max(np.abs(y).sum(), 1.0)
     assert abs(got - want) / scale < 5e-3
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 17))
+def test_pack_spans_partition_invariants(spark, seed, block):
+    """Concat-then-chunk laws on arbitrary corpora (zeros included): per
+    source the spans tile the token stream exactly — every block full
+    except the last, per-doc spans contiguous over [0, n_tok)."""
+    from light_curve_python_spark.operators.packing import pack_spans
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 25))
+    rows = [(int(i), ["s0", "s1"][int(rng.integers(0, 2))],
+             int(rng.integers(0, 4 * block))) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    spans = pack_spans(df, block).toPandas()
+    tok = {(r[0], r[1]): r[2] for r in rows}
+    for src, g in spans.groupby("source"):
+        total = sum(v for (i, s), v in tok.items() if s == src)
+        per_block = g.groupby("block_id").apply(
+            lambda b: (b.tok_end - b.tok_start).sum(), include_groups=False)
+        assert per_block.sum() == total
+        if len(per_block):
+            assert sorted(per_block.index) == list(range(len(per_block)))
+            assert (per_block.iloc[:-1] == block).all()
+            assert 0 < per_block.iloc[-1] <= block
+    for (i, src), nt in tok.items():
+        g = spans[spans.doc_id == i].sort_values("block_id")
+        if nt == 0:
+            assert g.empty
+            continue
+        assert g.tok_start.iloc[0] == 0 and g.tok_end.iloc[-1] == nt
+        assert (g.tok_start.iloc[1:].to_numpy()
+                == g.tok_end.iloc[:-1].to_numpy()).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31 - 1),
+       st.floats(0.0, 0.99, allow_nan=False))
+def test_erode_count_law(spark, seed, frac):
+    """round(frac*n) observations dropped per entity, survivors a
+    time-ordered subsequence — for arbitrary curve lengths/fractions."""
+    from light_curve_python_spark.operators.dmdt import erode_observations
+    rng = np.random.default_rng(seed)
+    sizes = {int(e): int(rng.integers(1, 30)) for e in range(4)}
+    rows = [(e, float(i), float(rng.normal()))
+            for e, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, t double, m double")
+    # half-AWAY rounding (f64::round / Spark round), NOT Python's
+    # banker's round — at frac*n == x.5 they differ
+    rnd = lambda x: int(np.floor(x + 0.5))
+    # skip entities the reference contract would refuse (drop >= n)
+    if any(rnd(frac * n) >= n for n in sizes.values()):
+        out = erode_observations(df, "doc_id", drop_nobs=frac, seed=seed,
+                                 on_short="skip").toPandas()
+    else:
+        out = erode_observations(df, "doc_id", drop_nobs=frac,
+                                 seed=seed).toPandas()
+    for e, n in sizes.items():
+        drop = rnd(frac * n)
+        g = out[out.doc_id == e]
+        if drop >= n:
+            assert g.empty
+            continue
+        assert len(g) == n - drop
+        ts = g.t.sort_values().to_numpy()
+        assert set(ts) <= set(np.arange(float(n)))
