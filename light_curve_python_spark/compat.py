@@ -178,11 +178,16 @@ class _FeatureBase:
         return np.concatenate(parts)
 
     def many(self, lcs, *, sorted=None, check=True, fill_value=None,
-             n_jobs=1):
-        """Serial bulk loop (the reference's pure-Python ``many``,
-        _base.py:97-105).  ``n_jobs`` is accepted for source
-        compatibility and ignored — the parallel path in this engine is
-        Spark via ``to_spark()`` + ``FeatureExtractor``."""
+             n_jobs=1, spark=None):
+        """Bulk evaluation.  Without ``spark``: a serial loop (the
+        reference's pure-Python ``many``, _base.py:97-105; ``n_jobs`` is
+        accepted for source compatibility and ignored).  With a
+        SparkSession: the curves are normalized driver-side, shipped as
+        ONE long-format DataFrame, and evaluated by FeatureExtractor's
+        grouped Arrow path — the reference's rayon fan-out, on Spark."""
+        if spark is not None:
+            return _many_spark(spark, [self], lcs, sorted, check,
+                               fill_value)
         return np.stack([
             np.atleast_1d(self(*lc, sorted=sorted, check=check,
                                fill_value=fill_value)) for lc in lcs])
@@ -318,6 +323,55 @@ for _key in sorted(_KF):
     __all__.append(_cls.__name__)
 
 
+def _many_spark(spark, features, lcs, sorted, check, fill_value):
+    """Distributed ``many``: one long-format DataFrame over all curves,
+    FeatureExtractor's grouped Arrow evaluation, results re-assembled in
+    input order.  Restricted to band-less features (the per-band facade
+    evaluation would need a band column per member); per-feature
+    transforms are carried through FeatureExtractor's transforms dict."""
+    from .operators.extract import FeatureExtractor
+    import pandas as pd
+    if any(f._bands is not None for f in features):
+        raise ValueError("many(spark=...) supports band-less features; "
+                         "use FeatureExtractor(bands=...) directly")
+    transforms = {}
+    for f in features:
+        if f._transform is not None:
+            prev = transforms.get(f._key)
+            if prev is not None and prev != f._transform:
+                raise ValueError(
+                    f"conflicting transforms for kernel '{f._key}'")
+            transforms[f._key] = f._transform
+    norm = [_normalize_input(*(list(lc) + [None] * (3 - len(lc))),
+                             band=None, sorted=sorted, check=check)
+            for lc in lcs]
+    has_sigma = all(s is not None for _, _, s, _ in norm)
+    sizes = [len(t) for t, _, _, _ in norm]
+    pdf = pd.DataFrame({
+        "_lc_id": np.repeat(np.arange(len(norm)), sizes),
+        "t": np.concatenate([t for t, _, _, _ in norm]) if norm else [],
+        "m": np.concatenate([m for _, m, _, _ in norm]) if norm else [],
+    })
+    if has_sigma:
+        pdf["sigma"] = np.concatenate([s for _, _, s, _ in norm])
+    if transforms and fill_value is not None and \
+            not (isinstance(fill_value, float) and np.isnan(fill_value)):
+        # the Spark path applies transforms column-wise AFTER the fill,
+        # the serial facade fills UNTRANSFORMED — identical for NaN
+        # fills, divergent for finite ones
+        raise ValueError("many(spark=...) with transformed features "
+                         "supports only fill_value=None/NaN")
+    fe = FeatureExtractor([f.to_spark() for f in features],
+                          fill_value=fill_value,
+                          transforms=transforms or None)
+    out = fe.extract(spark.createDataFrame(pdf), entity_col="_lc_id",
+                     sigma_col="sigma" if has_sigma else None)         .toPandas().sort_values("_lc_id")
+    if list(out["_lc_id"]) != list(range(len(norm))):
+        raise RuntimeError("curves lost in the distributed many() "
+                           "(empty inputs produce no group)")
+    return out[fe.names].to_numpy(dtype=np.float64)
+
+
 class Extractor:
     """Reference Extractor (light_curve_py/features/extractor.py):
     evaluates each member feature and concatenates outputs."""
@@ -341,7 +395,10 @@ class Extractor:
             for f in self.features])
 
     def many(self, lcs, *, sorted=None, check=True, fill_value=None,
-             n_jobs=1):
+             n_jobs=1, spark=None):
+        if spark is not None:
+            return _many_spark(spark, list(self.features), lcs, sorted,
+                               check, fill_value)
         return np.stack([self(*lc, sorted=sorted, check=check,
                               fill_value=fill_value) for lc in lcs])
 

@@ -374,3 +374,26 @@ def test_pickle_and_json_roundtrip(curve):
     g = lc.feature_from_json(f.to_json())
     assert g(t, np.abs(m) + 1.0) == pytest.approx(
         f(t, np.abs(m) + 1.0))
+
+
+def test_many_spark_equals_serial(spark, curve):
+    t, m, sigma = curve
+    ex = lc.Extractor(lc.Amplitude(), lc.Kurtosis(transform="arcsinh"),
+                      lc.OtsuSplit())
+    # mixed lengths, incl. a 2-obs curve that fills (kurtosis min_obs)
+    lcs = [(t, m, sigma), (t[:30], 2 * m[:30], sigma[:30]),
+           (t[:2], m[:2], sigma[:2])]
+    serial = ex.many(lcs, fill_value=np.nan)
+    dist = ex.many(lcs, fill_value=np.nan, spark=spark)
+    np.testing.assert_allclose(dist, serial, rtol=1e-12, atol=0)
+    # single feature too
+    f = lc.BeyondNStd(1.5)
+    np.testing.assert_allclose(
+        f.many(lcs, fill_value=np.nan, spark=spark),
+        f.many(lcs, fill_value=np.nan), rtol=1e-12)
+    # guards: banded features and finite fill + transform are rejected
+    with pytest.raises(ValueError, match="band-less"):
+        lc.Mean(bands=["g"]).many(lcs, spark=spark)
+    with pytest.raises(ValueError, match="NaN"):
+        lc.Kurtosis(transform="arcsinh").many(lcs, fill_value=-1.0,
+                                              spark=spark)
