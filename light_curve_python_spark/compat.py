@@ -372,6 +372,22 @@ def _many_spark(spark, features, lcs, sorted, check, fill_value):
     return out[fe.names].to_numpy(dtype=np.float64)
 
 
+def _periodogram_freq_power(self, t, m, *, sorted=None, check=True):
+    """The reference's ``Periodogram.freq_power(t, m)``
+    (src/features.rs:4493-4512): the raw (freqs, power) grid for one
+    curve, honoring the instance's grid/normalization parameters.  The
+    distributed form is ``operators.spectral.periodogram_freq_power``."""
+    from .functions.kernels import periodogram_power
+    t, m, _, _ = _normalize_input(t, m, None, None, sorted, check)
+    kw = {k: v for k, v in self._params.items()
+          if k in ("resolution", "max_freq_factor", "nyquist",
+                   "normalization", "freqs", "fast")}
+    return periodogram_power(t, m, **kw)
+
+
+Periodogram.freq_power = _periodogram_freq_power  # noqa: F821
+
+
 class Extractor:
     """Reference Extractor (light_curve_py/features/extractor.py):
     evaluates each member feature and concatenates outputs."""

@@ -397,3 +397,14 @@ def test_many_spark_equals_serial(spark, curve):
     with pytest.raises(ValueError, match="NaN"):
         lc.Kurtosis(transform="arcsinh").many(lcs, fill_value=-1.0,
                                               spark=spark)
+
+
+def test_periodogram_freq_power(curve):
+    t, m, _ = curve
+    from light_curve_python_spark.functions.kernels import periodogram_power
+    p = lc.Periodogram(resolution=5.0, fast=False)
+    freqs, power = p.freq_power(t, m)
+    wf, wp = periodogram_power(t, m, resolution=5.0, fast=False)
+    np.testing.assert_array_equal(freqs, wf)
+    np.testing.assert_array_equal(power, wp)
+    assert len(freqs) == len(power) > 10
