@@ -513,6 +513,16 @@ class DmDt:
             raise ValueError(f"unknown norm values {sorted(unknown)}; "
                              f"supported: 'dt', 'max'")
 
+    # reference getters (src/dmdt.rs:1083-1133)
+    shape = property(lambda self: (len(self.dt_edges) - 1,
+                                   len(self.dm_edges) - 1))
+    dt_grid = property(lambda self: self.dt_edges)
+    dm_grid = property(lambda self: self.dm_edges)
+    min_dt = property(lambda self: float(self.dt_edges[0]))
+    max_dt = property(lambda self: float(self.dt_edges[-1]))
+    min_dm = property(lambda self: float(self.dm_edges[0]))
+    max_dm = property(lambda self: float(self.dm_edges[-1]))
+
     @classmethod
     def from_borders(cls, min_lgdt, max_lgdt, lgdt_size, max_abs_dm,
                      dm_size, norm=()):
