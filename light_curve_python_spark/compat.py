@@ -215,7 +215,16 @@ class _FeatureBase:
         cross-engine JSON was never portable); load with
         ``feature_from_json``."""
         import json
-        return json.dumps(self._spec())
+
+        def _default(o):
+            # numpy scalars/arrays in params (init, bounds, freqs, ...)
+            if isinstance(o, np.generic):
+                return o.item()
+            if isinstance(o, np.ndarray):
+                return o.tolist()
+            raise TypeError(f"{type(o).__name__} is not JSON serializable")
+
+        return json.dumps(self._spec(), default=_default)
 
     def __repr__(self):
         args = ", ".join(f"{k}={v!r}" for k, v in self._params.items())
@@ -331,21 +340,44 @@ def _many_spark(spark, features, lcs, sorted, check, fill_value):
     transforms are carried through FeatureExtractor's transforms dict."""
     from .operators.extract import FeatureExtractor
     import pandas as pd
+    # build the specs FIRST: Bins / color features (which inherit this
+    # ``many``) raise their to_spark() guidance NotImplementedError here
+    # instead of an AttributeError on ``_bands`` below
+    specs = [f.to_spark() for f in features]
     if any(f._bands is not None for f in features):
         raise ValueError("many(spark=...) supports band-less features; "
                          "use FeatureExtractor(bands=...) directly")
+    # FeatureExtractor applies transforms PER KERNEL KEY and emits one
+    # column per output NAME — two features sharing a key must agree on
+    # the transform (incl. None), and output names must be distinct, or
+    # the distributed result silently diverges from the serial loop
     transforms = {}
+    seen_transform = {}
     for f in features:
+        if f._key in seen_transform and \
+                seen_transform[f._key] != f._transform:
+            raise ValueError(
+                f"conflicting transforms for kernel '{f._key}'")
+        seen_transform[f._key] = f._transform
         if f._transform is not None:
-            prev = transforms.get(f._key)
-            if prev is not None and prev != f._transform:
-                raise ValueError(
-                    f"conflicting transforms for kernel '{f._key}'")
             transforms[f._key] = f._transform
+    out_names = [n for f in features for n in f.names]
+    if len(set(out_names)) != len(out_names):
+        dup = sorted({n for n in out_names if out_names.count(n) > 1})
+        raise ValueError(
+            f"duplicate feature output names {dup}: many(spark=...) "
+            "needs distinct columns; deduplicate the features")
+    if not lcs:
+        raise ValueError("many(spark=...) needs at least one light curve")
     norm = [_normalize_input(*(list(lc) + [None] * (3 - len(lc))),
                              band=None, sorted=sorted, check=check)
             for lc in lcs]
     has_sigma = all(s is not None for _, _, s, _ in norm)
+    if not has_sigma and any(s is not None for _, _, s, _ in norm):
+        # the serial loop uses sigma per-curve; the long-format frame is
+        # all-or-nothing — dropping it silently would diverge
+        raise ValueError("many(spark=...) requires sigma for all curves "
+                         "or for none (mixed sigma would be dropped)")
     sizes = [len(t) for t, _, _, _ in norm]
     pdf = pd.DataFrame({
         "_lc_id": np.repeat(np.arange(len(norm)), sizes),
@@ -361,8 +393,7 @@ def _many_spark(spark, features, lcs, sorted, check, fill_value):
         # fills, divergent for finite ones
         raise ValueError("many(spark=...) with transformed features "
                          "supports only fill_value=None/NaN")
-    fe = FeatureExtractor([f.to_spark() for f in features],
-                          fill_value=fill_value,
+    fe = FeatureExtractor(specs, fill_value=fill_value,
                           transforms=transforms or None)
     out = fe.extract(spark.createDataFrame(pdf), entity_col="_lc_id",
                      sigma_col="sigma" if has_sigma else None)         .toPandas().sort_values("_lc_id")
@@ -379,7 +410,10 @@ def _periodogram_freq_power(self, t, m, *, sorted=None, check=True):
     distributed form is ``operators.spectral.periodogram_freq_power``."""
     from .functions.kernels import periodogram_power
     t, m, _, _ = _normalize_input(t, m, None, None, sorted, check)
-    kw = {k: v for k, v in self._params.items()
+    # the kernel's params dict carries the EFFECTIVE values — self._params
+    # holds only explicitly-passed kwargs, and periodogram_power's own
+    # defaults differ from the factory's (fast=False vs fast=True)
+    kw = {k: v for k, v in self._kernel.params.items()
           if k in ("resolution", "max_freq_factor", "nyquist",
                    "normalization", "freqs", "fast")}
     return periodogram_power(t, m, **kw)
@@ -610,8 +644,11 @@ class DmDt:
                 arrays = [np.asarray(a, dtype=np.float64)
                           for a in lcs[i]]
                 n = len(arrays[0])
+                # half-AWAY rounding (the reference's f64::round and
+                # erode_observations' Spark round), NOT Python's
+                # banker's round — at frac*n == x.5 they differ
                 drop = drop_nobs if isinstance(drop_nobs, int) \
-                    else int(round(drop_nobs * n))
+                    else int(np.floor(drop_nobs * n + 0.5))
                 if drop >= n:
                     raise ValueError(
                         f"cannot drop {drop} observations from light "

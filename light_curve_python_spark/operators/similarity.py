@@ -43,11 +43,18 @@ def _cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     HOF dot at 64-dim (sf0.1 re-rank of 82k pairs: 2.39 s HOF vs 1.29 s
     Arrow end-to-end, min-of-3) — the HOF lambda is interpreted per
     element, the Arrow batch is one BLAS-shaped pass."""
+    if not len(a):
+        return pd.Series([], dtype="float64")
     ma = np.vstack(a.to_numpy())
     mb = np.vstack(b.to_numpy())
     num = np.einsum("ij,ij->i", ma, mb)
     den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-    return pd.Series(num / den)
+    # zero-norm vectors get NULL, matching the former JVM x/0.0 — a NaN
+    # here would sort FIRST under the desc() rank window (Spark orders
+    # NaN above every other double) and outrank every real neighbor
+    zero = den == 0.0
+    vals = num / np.where(zero, 1.0, den)
+    return pd.Series(pd.arrays.FloatingArray(vals, zero))
 
 
 def with_l2_norm(df: DataFrame, vec_col: str = "embedding",
