@@ -26,13 +26,12 @@ tests/test_battery.py.  fill_value/min_obs semantics identical to
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .kernels import (Kernel, WindowContext, _hazen_sorted,
-                      _sorted_median, evaluate_kernel)
+from .kernels import (Kernel, _hazen_sorted, _sorted_median,
+                      evaluate_kernel)
 from .special import chi2_sf, ndtr
 
 __all__ = ["PrefixBattery"]
@@ -217,6 +216,10 @@ class PrefixBattery:
     LOOP_KEYS = {"stetson_k", "roms", "cusum"}
     SUPPORTED = PREFIX_KEYS | SORTED_KEYS | LOOP_KEYS
 
+    # deferred-snapshot flush threshold (elements ~ 8 B each);
+    # overridable for tests and memory-constrained executors
+    FLUSH_ELEMS = 8_000_000
+
     def __init__(self, kernels: Sequence[Kernel],
                  fill_value: Optional[float] = np.nan):
         self.kernels = list(kernels)
@@ -357,8 +360,10 @@ class PrefixBattery:
         m = ctx.m
         sig = ctx.sigma
         cumsum_m = ctx.get("cumsum_m") if need_cusum else None
-        cw = ctx.get("cw") if need_stetson else None
-        cwm = ctx.get("cwm") if need_stetson else None
+        # sigma-less input: stetson_k must FILL (the per-kernel guard
+        # below), not crash here computing sigma**-2 prefix sums
+        cw = ctx.get("cw") if need_stetson and sig is not None else None
+        cwm = ctx.get("cwm") if need_stetson and sig is not None else None
         if nstds:
             means = ctx.mean
             stds = ctx.std1
@@ -390,6 +395,15 @@ class PrefixBattery:
         st_c: list = []
         ro_j: list = []
         ro_c: list = []
+        # deferred snapshots copy each probe's full sorted prefix, so an
+        # unbounded accumulation peaks at O(sum window lengths) — a hot
+        # 50k-obs/10k-probe entity would hold GBs.  Flush each family
+        # through its flat pass once it holds ~8M elements (~64 MB);
+        # the flat passes already operate on arbitrary probe subsets
+        # (per-segment base subtraction), so results only move by the
+        # same ulp class the oracle rounding absorbs.
+        _FLUSH = self.FLUSH_ELEMS
+        ad_elems = otsu_elems = w_elems = 0
         ar1 = np.arange(1, n + 1) if need_cusum else None
         for pi in order:
             k = int(ctx.ends[pi])
@@ -469,6 +483,12 @@ class PrefixBattery:
                 otsu_parts.append(win_s.copy())
                 otsu_cums.append(np.cumsum(win_s))
                 otsu_pis.append(pi)
+                otsu_elems += k
+                if otsu_elems >= _FLUSH:
+                    self._otsu_flat(otsu_parts, otsu_cums, otsu_pis,
+                                    res["otsu"])
+                    otsu_parts, otsu_cums, otsu_pis = [], [], []
+                    otsu_elems = 0
             if need_ad and k >= 4:
                 # DEFERRED: snapshot the sorted prefix; all probes' A²
                 # evaluate in ONE flat ndtr/log pass after the loop (the
@@ -476,6 +496,11 @@ class PrefixBattery:
                 # branch-mask overhead dominates at a few hundred points)
                 ad_parts.append(win_s.copy())
                 ad_pis.append(pi)
+                ad_elems += k
+                if ad_elems >= _FLUSH:
+                    self._ad_flat(ad_parts, ad_pis, res["ad"])
+                    ad_parts, ad_pis = [], []
+                    ad_elems = 0
             if need_wsums and k >= 2:
                 # DEFERRED: snapshot the sorted-order weight rails; the
                 # two cumsums per probe become ONE flat cumsum after the
@@ -492,6 +517,14 @@ class PrefixBattery:
                     med = res["median"][pi]
                     ro_j.append(int(np.searchsorted(win_s, med)))
                     ro_c.append(med - m0)
+                w_elems += k
+                if w_elems >= _FLUSH:
+                    self._wsums_flat(w_parts, mw_parts, w_pis,
+                                     st_j, st_c, res["stetson_num"],
+                                     ro_j, ro_c, res["roms_sum"])
+                    w_parts, mw_parts, w_pis = [], [], []
+                    st_j, st_c, ro_j, ro_c = [], [], [], []
+                    w_elems = 0
             if need_cusum and k >= 2:
                 c_ = cumsum_m[:k] - ar1[:k] * (cumsum_m[k - 1] / k)
                 res["cusum_ptp"][pi] = float(c_.max() - c_.min())
@@ -626,7 +659,6 @@ class PrefixBattery:
     def _eval_kernel(self, kern: Kernel, ctx: _Ctx, ss: dict) -> np.ndarray:
         key = kern.key
         k = ctx.k
-        P = len(ctx.ends)
         if key in {k_.key for k_ in self.fallback}:
             return self._eval_fallback(kern, ctx)
         if key == "observation_count":

@@ -261,6 +261,11 @@ class FeatureExtractor:
         arrow_ok = (use_arrow and horizon is None and self.bands is None)
         payload_cols = [c for c in probes.columns
                         if c not in (entity_col, ts_col)]
+        # collision check on the FULL probe schema before any branching —
+        # the payload_via_join recursion only sees the slim columns, and a
+        # payload column named like a feature output would otherwise
+        # surface as an ambiguous-reference error deep in the job
+        self._check_name_collisions(probes.columns, "probe columns")
         # the uid-join detour only pays when payload columns would otherwise
         # be materialized as pandas objects; the Arrow path streams them
         # through as raw buffers, so it keeps the payload inline
@@ -281,8 +286,15 @@ class FeatureExtractor:
                 obs, slim, entity_col, t_col, m_col, sigma_col, band_col,
                 ts_col, horizon, salt_partitions, hot_threshold,
                 payload_via_join=False, use_arrow=use_arrow)
+            # null-SAFE equality on the entity key: the cogroup path emits
+            # fill rows for null-entity probes (groupBy keeps the null
+            # group), and a plain inner join's null != null would silently
+            # drop exactly those rows on this branch
+            f = feats.drop(ts_col)
             out = probes_uid.join(
-                feats.drop(ts_col), [entity_col, "_probe_rn"], "inner")
+                f, probes_uid[entity_col].eqNullSafe(f[entity_col])
+                & (probes_uid["_probe_rn"] == f["_probe_rn"]),
+                "inner").drop(f[entity_col]).drop(f["_probe_rn"])
             return out.drop("_probe_rn")
         ocols = [entity_col, t_col, m_col]
         if sigma_col:
@@ -385,9 +397,14 @@ class FeatureExtractor:
             if probes_t.num_rows == 0:
                 return out_schema.empty_table()
             t = obs_t.column(t_col).to_numpy()
-            order = np.argsort(t, kind="mergesort")
+            m = obs_t.column(m_col).to_numpy()
+            # lexsort (m tiebreak), matching _prepare_arrays: a stable
+            # sort alone keeps arbitrary shuffle arrival order among
+            # equal-t rows, so consecutive-difference kernels would
+            # differ between runs/retries
+            order = np.lexsort((m, t))
             t = t[order]
-            m = obs_t.column(m_col).to_numpy()[order]
+            m = m[order]
             s = (obs_t.column(sigma_col).to_numpy()[order]
                  if sigma_col else None)
             ts = probes_t.column(ts_col).to_numpy()

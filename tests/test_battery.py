@@ -213,3 +213,28 @@ def test_review_fixes_battery_and_special():
     ref = np.concatenate([evaluate_kernel(k, t, m, s) for k in kit])
     assert (two[0] == -7.0).all()
     np.testing.assert_allclose(two[1], ref, rtol=1e-9)
+
+
+def test_deferred_flush_equals_unflushed(monkeypatch):
+    """Bounded snapshot flushing (memory guard for hot entities) must
+    agree with the single end-of-loop flat pass — same flat math over
+    subsets, only cumsum-seam ulps may move (assert tight allclose)."""
+    import numpy as np
+
+    from light_curve_python_spark.functions.battery import PrefixBattery
+    from light_curve_python_spark.functions.kernels import make_kernel
+    rng = np.random.default_rng(3)
+    n = 400
+    t = np.sort(rng.uniform(0, 100, n))
+    m = rng.normal(18, 1, n)
+    s = rng.uniform(0.05, 0.2, n)
+    ends = rng.integers(4, n + 1, size=60)
+    kernels = [make_kernel(k) for k in
+               ("anderson_darling_normal", "otsu_split", "stetson_k",
+                "roms", "mean")]
+    b = PrefixBattery(kernels, fill_value=np.nan)
+    base = b.evaluate_prefixes(t, m, s, ends)
+    monkeypatch.setattr(PrefixBattery, "FLUSH_ELEMS", 500)  # many flushes
+    flushed = b.evaluate_prefixes(t, m, s, ends)
+    np.testing.assert_allclose(flushed, base, rtol=1e-9, atol=1e-12,
+                               equal_nan=True)

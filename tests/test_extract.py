@@ -460,3 +460,49 @@ def test_review_fixes_extract_guards(spark):
             dup.repartition(3)).collect()[0]
         vals.add(round(r["eta"], 9))
     assert len(vals) == 1
+
+
+def test_pit_arrow_duplicate_t_deterministic(spark):
+    """The arrow PIT path must lexsort (m tiebreak) like _prepare_arrays:
+    with duplicate timestamps, consecutive-difference features were
+    arrival-order-dependent under a plain stable sort."""
+    import pandas as pd
+    rows = [("a", 1.0, 5.0, 0.1), ("a", 2.0, 9.0, 0.1),
+            ("a", 2.0, 1.0, 0.1), ("a", 3.0, 4.0, 0.1),
+            ("a", 4.0, 2.0, 0.1)]
+    ex = FeatureExtractor(["eta", "maximum_slope", "cusum"])
+    outs = []
+    for perm in (rows, rows[::-1], [rows[2], rows[0], rows[4], rows[1],
+                                    rows[3]]):
+        obs = spark.createDataFrame(perm,
+                                    "doc_id string, t double, m double, "
+                                    "sigma double").repartition(3)
+        probes = spark.createDataFrame([("a", 10.0)],
+                                       "doc_id string, ts double")
+        pdf = ex.extract_point_in_time(obs, probes).toPandas()
+        outs.append(pdf[["eta", "maximum_slope", "cusum"]].iloc[0])
+    for other in outs[1:]:
+        pd.testing.assert_series_equal(outs[0], other, check_names=False)
+
+
+def test_payload_join_keeps_null_entity_and_checks_collisions(spark):
+    """The payload_via_join branch must (a) keep null-entity probe rows
+    (null-safe join; the cogroup path emits fill rows for them) and
+    (b) reject payload columns named like feature outputs BEFORE the
+    slim recursion hides them."""
+    import numpy as np
+    import pandas as pd
+    obs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a"] * 5, "t": np.arange(5.0),
+        "m": np.arange(5.0), "sigma": [0.1] * 5}))
+    probes = spark.createDataFrame(
+        [("a", 3.0, "x"), (None, 3.0, "y")],
+        "doc_id string, ts double, payload string")
+    ex = FeatureExtractor(["mean"])
+    out = ex.extract_point_in_time(obs, probes, horizon=10.0).toPandas()
+    assert sorted(out.payload) == ["x", "y"]
+    assert np.isnan(out[out.payload == "y"]["mean"].iloc[0])
+    with pytest.raises(ValueError, match="collide"):
+        ex.extract_point_in_time(
+            obs, probes.withColumnRenamed("payload", "mean"),
+            horizon=10.0)
