@@ -408,3 +408,15 @@ def test_periodogram_freq_power(curve):
     np.testing.assert_array_equal(freqs, wf)
     np.testing.assert_array_equal(power, wp)
     assert len(freqs) == len(power) > 10
+
+
+def test_bands_with_transform(curve):
+    t, m, sigma = curve
+    band = np.where(np.arange(len(t)) % 2 == 0, "g", "r")
+    f = lc.Kurtosis(bands=["g", "r"], transform="arcsinh")
+    out = f(t, m, sigma, band)
+    want = [np.arcsinh(lc.Kurtosis()(t[band == b], m[band == b],
+                                     sigma[band == b]))
+            for b in ("g", "r")]
+    np.testing.assert_allclose(out, want, rtol=1e-12)
+    assert f.names == ("kurtosis_g", "kurtosis_r")
