@@ -4,8 +4,8 @@ observations with t <= the arriving row's t — exactly what the batch
 engine computes per probe — by carrying running sufficient statistics in
 ``applyInPandasWithState`` state.
 
-Features maintained from O(1) state (n, Σm, Σm², Σw, Σwm, Σt, min, max,
-last_t): observation_count, mean, standard_deviation (ddof=1), amplitude,
+Features maintained from O(1) state (n, Welford mean/M2, Σw, Σwm, min,
+max, last_t): observation_count, mean, standard_deviation (ddof=1), amplitude,
 weighted_mean, duration, maximum_time_interval — the moment family whose
 sufficient statistics fold associatively (quantile-family features need
 the full window and stay batch-side).  Within a micro-batch rows are
@@ -40,9 +40,14 @@ def _output_schema(key_field: T.StructField, ts_col: str,
         + [T.StructField(n, T.DoubleType()) for n in names])
 
 
+# Welford (mean, M2) instead of raw (Σm, Σm²): the sum-of-squares
+# variance (sm2 - sm²/n) cancels catastrophically for large-magnitude m
+# (flux ~1e8 with spread ~1 emits 0.0 or noise); Welford folds stably.
+# NB: this changed the checkpointed state layout — streams checkpointed
+# under the old (sm, sm2) schema cannot resume on this version.
 STATE_SCHEMA = T.StructType([
     T.StructField(n, T.DoubleType())
-    for n in ("n", "sm", "sm2", "sw", "swm", "mn", "mx",
+    for n in ("n", "mean", "m2", "sw", "swm", "mn", "mx",
               "t0", "last_t", "max_dt")])
 
 
@@ -78,9 +83,9 @@ def streaming_pit_features(obs: DataFrame, key_col: str = "doc_id",
     def fn(key: Tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            (n, sm, sm2, sw, swm, mn, mx, t0, last_t, max_dt) = state.get
+            (n, mean, m2, sw, swm, mn, mx, t0, last_t, max_dt) = state.get
         else:
-            n = sm = sm2 = sw = swm = 0.0
+            n = mean = m2 = sw = swm = 0.0
             mn = math.inf
             mx = -math.inf
             t0 = last_t = math.nan
@@ -97,12 +102,24 @@ def streaming_pit_features(obs: DataFrame, key_col: str = "doc_id",
             if late_policy == "drop" and not math.isnan(last_t) \
                     and t < last_t:
                 continue      # late cross-batch row: unservable leak-free
+            if m is None or not math.isfinite(m):
+                # a NaN/null m would poison the folded moments FOREVER
+                # (unlike a batch window, state never forgets) — skip the
+                # row entirely, like the quantile twin below
+                continue
             n += 1.0
-            sm += m
-            sm2 += m * m
-            w = s ** -2.0
-            sw += w
-            swm += w * m
+            delta = m - mean
+            mean += delta / n
+            m2 += delta * (m - mean)
+            # zero/NaN sigma is a missing-error sentinel: folding an
+            # infinite/NaN weight would NaN the weighted mean for every
+            # later emission; such rows contribute to the unweighted
+            # moments only (documented streaming divergence — the batch
+            # kernel NaNs exactly the windows containing the row)
+            if s is not None and math.isfinite(s) and s > 0.0:
+                w = s ** -2.0
+                sw += w
+                swm += w * m
             mn = min(mn, m)
             mx = max(mx, m)
             if math.isnan(t0):
@@ -111,17 +128,18 @@ def streaming_pit_features(obs: DataFrame, key_col: str = "doc_id",
                 dt = t - last_t
                 max_dt = dt if math.isnan(max_dt) else max(max_dt, dt)
             last_t = t
-            var = (sm2 - sm * sm / n) / (n - 1.0) if n > 1 else math.nan
             out[t_col].append(t)
             out["observation_count"].append(n)
-            out["mean"].append(sm / n)
+            out["mean"].append(mean)
             out["standard_deviation"].append(
-                math.sqrt(max(var, 0.0)) if n > 1 else math.nan)
+                math.sqrt(max(m2, 0.0) / (n - 1.0)) if n > 1
+                else math.nan)
             out["amplitude"].append(0.5 * (mx - mn))
-            out["weighted_mean"].append(swm / sw)
+            out["weighted_mean"].append(swm / sw if sw > 0.0
+                                        else math.nan)
             out["duration"].append(t - t0)
             out["maximum_time_interval"].append(max_dt)
-        state.update((n, sm, sm2, sw, swm, mn, mx, t0, last_t, max_dt))
+        state.update((n, mean, m2, sw, swm, mn, mx, t0, last_t, max_dt))
         res = pd.DataFrame(out)
         res.insert(0, key_col, key[0])
         yield res

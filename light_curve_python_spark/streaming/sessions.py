@@ -29,6 +29,9 @@ def streaming_exact_dedup(stream: DataFrame, cols, ts_col: str = "ts",
     behind the event-time watermark — bounded state at unbounded stream
     length (an exact forever-dedup needs an external key store instead)."""
     from ..operators.dedup import content_digest
+    if "_digest" in stream.columns:
+        raise ValueError("streaming_exact_dedup reserves the '_digest' "
+                         "column name; rename it first")
     digest = content_digest(cols)
     return (stream
             .withWatermark(ts_col, watermark)
@@ -78,7 +81,14 @@ def streaming_bins(events: DataFrame, key_col: str = "user_id",
             .groupBy(F.col(key_col), F.window(F.col(ts_col), window))
             .agg((F.sum(F.col(m_col) * F.col("_w")) / F.sum("_w"))
                  .alias(m_col),
-                 F.sqrt(F.count("*") / F.sum("_w")).alias("sigma"),
-                 F.count("*").alias("n_obs"))
+                 # count only rows whose (m, w) entered the sums — a null
+                 # m/sigma row would inflate sigma and n_obs (the batch
+                 # twin bin_series carries the same guard)
+                 F.sqrt(F.count(F.when(F.col(m_col).isNotNull()
+                                       & F.col("_w").isNotNull(), 1))
+                        / F.sum("_w")).alias("sigma"),
+                 F.count(F.when(F.col(m_col).isNotNull()
+                                & F.col("_w").isNotNull(), 1))
+                 .alias("n_obs"))
             .select(key_col, F.col("window.start").alias("bin_start"),
                     m_col, "sigma", "n_obs"))

@@ -28,9 +28,18 @@ STATE_SCHEMA = T.StructType([
 def streaming_n_not_det_before_fd(events: DataFrame,
                                   key_col: str = "user_id",
                                   ts_col: str = "ts", m_col: str = "value",
-                                  sigma_threshold: float = 250.0) -> DataFrame:
-    """Streaming count of non-detections (m <= threshold) before the first
-    detection per key.  Rows within a batch are processed in event-time
+                                  m_threshold: float = 250.0,
+                                  sigma_col: str = None,
+                                  signal_to_noise: float = 5.0) -> DataFrame:
+    """Streaming count of non-detections before the first detection per
+    key.  Two detection rules: with ``sigma_col`` set, a row is a
+    detection iff ``m > signal_to_noise * sigma`` — the batch flux twin's
+    per-row rule (detection_counts_sql / flux_n_not_det_before_fd);
+    without it, the fixed ``m > m_threshold`` form.  Non-finite m rows
+    are skipped (a NaN would otherwise be silently counted as a
+    non-detection forever — checkpointed state never forgets).
+
+    Rows within a batch are processed in event-time
     order with DETECTIONS FIRST among equal timestamps (the batch twin
     counts strictly ``t < first_detection_t``, so an equal-ts
     non-detection must not be counted); cross-batch LATE rows are
@@ -53,9 +62,12 @@ def streaming_n_not_det_before_fd(events: DataFrame,
             n_before, seen, last_ts = 0, False, math.nan
         import numpy as np
         rows = pd.concat(list(pdfs), ignore_index=True)
+        if sigma_col is not None:
+            det_flags = rows[m_col] > signal_to_noise * rows[sigma_col]
+        else:
+            det_flags = rows[m_col] > m_threshold
         # ts asc, detections before non-detections on ties
-        rows = rows.assign(
-            _det=(rows[m_col] > sigma_threshold)).sort_values(
+        rows = rows.assign(_det=det_flags).sort_values(
             [ts_col, "_det"], ascending=[True, False])
         tser = rows[ts_col]
         if pd.api.types.is_datetime64_any_dtype(tser):
@@ -65,15 +77,17 @@ def streaming_n_not_det_before_fd(events: DataFrame,
                             tser.astype("int64", copy=False) / 1e9)
         else:
             tnum = tser.to_numpy(dtype=np.float64)
-        for ts, v in zip(tnum, rows[m_col]):
+        for ts, v, is_det in zip(tnum, rows[m_col], rows["_det"]):
             if not math.isfinite(ts):
                 continue
+            if v is None or not math.isfinite(v):
+                continue    # NaN m is neither a detection nor a non-det
             if not math.isnan(last_ts) and ts < last_ts:
                 continue                    # cross-batch late row: drop
             last_ts = ts
             if seen:
                 break
-            if v > sigma_threshold:
+            if bool(is_det):
                 seen = True
             else:
                 n_before += 1

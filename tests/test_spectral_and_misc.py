@@ -98,7 +98,7 @@ def test_streaming_stateful_counter(spark, tmp_path):
     spark.createDataFrame(pdf).write.parquet(d)
     stream = spark.readStream.schema(
         spark.read.parquet(d).schema).parquet(d)
-    out = streaming_n_not_det_before_fd(stream, sigma_threshold=250.0)
+    out = streaming_n_not_det_before_fd(stream, m_threshold=250.0)
     q = (out.writeStream.format("memory").queryName("ndet")
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "ck"))

@@ -546,3 +546,106 @@ def test_streaming_counter_key_schema_and_ties(spark, tmp_path):
     assert row.doc_id == "e0"
     assert row.n_non_detections_before_fd == 1      # only the ts=1 row
     assert bool(row.first_detection_seen)
+
+
+def test_streaming_pit_features_robust_inputs(spark, tmp_path):
+    """Round-5 review fixes: (a) Welford variance is stable for
+    large-magnitude m (the sum-of-squares form cancelled to 0/noise at
+    flux ~1e8); (b) sigma=0/NaN rows fold into unweighted moments only
+    instead of crashing or NaN-poisoning the weighted mean forever;
+    (c) NaN m rows are skipped entirely."""
+    import numpy as np
+    from light_curve_python_spark.streaming.features import (
+        streaming_pit_features)
+    rng = np.random.default_rng(8)
+    base = 1e8
+    m = base + rng.normal(0.0, 1.0, 30)
+    pdf = pd.DataFrame({
+        "doc_id": "e0", "t": np.arange(30, dtype=float), "m": m,
+        "sigma": [0.1] * 10 + [0.0] + [0.1] * 19})
+    pdf.loc[5, "m"] = np.nan            # skipped row
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id string, t double, m double, sigma double").parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (streaming_pit_features(stream)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("t")
+    assert len(got) == 29               # NaN-m row emitted nothing
+    last = got.iloc[-1]
+    valid = np.delete(m, 5)
+    # Welford: std ~ 1, not the cancelled 0.0 of (sm2 - sm^2/n)
+    assert last["standard_deviation"] == pytest.approx(
+        valid.std(ddof=1), rel=1e-6)
+    assert last["mean"] == pytest.approx(valid.mean(), rel=1e-12)
+    # weighted mean over the valid-sigma rows only (sigma=0 excluded)
+    wvalid = np.delete(m, [5, 10])
+    assert last["weighted_mean"] == pytest.approx(wvalid.mean(), rel=1e-9)
+
+
+def test_streaming_bins_null_rows_not_counted(spark, tmp_path):
+    """A null-m row must not inflate sigma/n_obs (batch bin_series
+    parity: count only rows whose (m, w) entered the sums)."""
+    from light_curve_python_spark.streaming.sessions import streaming_bins
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 02:00",
+                              "2024-01-01 03:00"]),
+        "value": [2.0, None, 4.0], "sigma": [0.5, 0.5, 0.5]})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double, sigma double") \
+        .parquet(src)
+    # complete-mode memory sink: append + watermark over availableNow
+    # never emits aggregates of a single file
+    got = _run_stream(spark, streaming_bins(stream, sigma_col="sigma"),
+                      str(tmp_path / "binsfix")).toPandas()
+    assert got.n_obs.iloc[0] == 2       # was 3 with count(*)
+    # batch bin_series parity: the COUNT excludes the null-m row but
+    # sum_w still includes its (non-null) weight — sqrt(2 / 3*w)
+    assert got.sigma.iloc[0] == pytest.approx(
+        (2 / (3 * 0.5 ** -2.0)) ** 0.5)
+
+
+def test_streaming_counter_sigma_rule_and_nan_m(spark, tmp_path):
+    """Per-row m > s2n*sigma detection rule (the batch flux twin) and
+    NaN-m rows counted as neither detection nor non-detection."""
+    import numpy as np
+
+    from light_curve_python_spark.streaming.stateful import (
+        streaming_n_not_det_before_fd)
+    pdf = pd.DataFrame({
+        "user_id": [1] * 5,
+        "ts": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "value": [1.0, np.nan, 2.0, 60.0, 3.0],
+        "sigma": [1.0, 1.0, 1.0, 1.0, 1.0]})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts double, value double, sigma double").parquet(src)
+    q = (streaming_n_not_det_before_fd(stream, sigma_col="sigma",
+                                       signal_to_noise=5.0)
+         .writeStream.format("memory").queryName("ctrfix")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ctrfix").toPandas()
+    # detections: value > 5*sigma -> only 60.0; NaN row skipped ->
+    # 2 non-detections before first detection (1.0, 2.0)
+    assert got.n_non_detections_before_fd.iloc[0] == 2
+    assert bool(got.first_detection_seen.iloc[0])
+
+
+def test_streaming_dedup_reserved_digest_column(spark):
+    from light_curve_python_spark.streaming.sessions import (
+        streaming_exact_dedup)
+    df = spark.readStream.format("rate").load() \
+        .withColumnRenamed("value", "_digest")
+    with pytest.raises(ValueError, match="_digest"):
+        streaming_exact_dedup(df, ["_digest"], ts_col="timestamp")
