@@ -1401,7 +1401,9 @@ def _langid_sql():
 WITH scores AS ({_lang_unions_sql()}),
 pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY hits DESC, lang DESC) AS rk FROM scores)
-SELECT doc_id, lang AS predicted_lang, hits AS stopword_hits
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS predicted_lang,
+       hits AS stopword_hits
 FROM pick WHERE rk = 1
 """
 
@@ -2513,10 +2515,10 @@ QUALITY_SIG_SQL = """
   FROM documents"""
 
 QUALITY_KEEP_SQL = """(n_words >= 10 AND n_words <= 500
-   AND CAST(sum_wlen AS DOUBLE) / n_words >= 2.5
-   AND CAST(sum_wlen AS DOUBLE) / n_words <= 9.0
-   AND CAST(n_punct AS DOUBLE) / n_chars <= 0.1
-   AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+   AND CAST(sum_wlen AS DOUBLE) / NULLIF(n_words, 0) >= 2.5
+   AND CAST(sum_wlen AS DOUBLE) / NULLIF(n_words, 0) <= 9.0
+   AND CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) <= 0.1
+   AND CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) >= 0.01
    AND lang IN ('en', 'de'))"""
 
 SQL_CORPUS_FILTER = f"""

@@ -41,15 +41,26 @@ def content_digest(cols: Sequence[str]):
 
 def exact_dedup(df: DataFrame, cols: Sequence[str],
                 keep_col: str = "doc_id") -> DataFrame:
-    """Keep one representative row (min keep_col) per exact duplicate group
-    over ``cols``; adds ``dup_count``."""
+    """Keep one representative row (min keep_col, nulls last) per exact
+    duplicate group over ``cols``; adds ``dup_count``.
+
+    row_number, not a min()-equality join: window min() skips NULLs, so
+    an all-null-id duplicate group had NO row matching the min and the
+    whole group silently vanished from the output (and a null-id row in
+    a mixed group could never be kept).  One row per group survives even
+    when ids are null; ties on keep_col pick one row arbitrarily-but-
+    deterministically per partition layout only when rows are otherwise
+    identical duplicates."""
     digest = content_digest(cols)
     w = Window.partitionBy("_digest")
+    rn = F.row_number().over(
+        Window.partitionBy("_digest")
+        .orderBy(F.col(keep_col).asc_nulls_last()))
     return (df.withColumn("_digest", digest)
             .withColumn("dup_count", F.count("*").over(w))
-            .withColumn("_keep", F.min(keep_col).over(w))
-            .filter(F.col(keep_col) == F.col("_keep"))
-            .drop("_digest", "_keep"))
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+            .drop("_digest", "_rn"))
 
 
 def shingle(df: DataFrame, text_col: str = "text", k: int = 3,
@@ -81,29 +92,33 @@ def lsh_candidates(signatures: DataFrame, id_col: str = "doc_id",
                    n_hashes: int = 16, bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL rows of >= 1 band.
     Returns (id_a, id_b) with id_a < id_b, distinct."""
-    if n_hashes % bands != 0:
+    if bands <= 0 or n_hashes % bands != 0:
         # a remainder would silently leave the last n_hashes % bands
         # signature columns out of every band, lowering recall below
-        # what the caller configured
+        # what the caller configured (bands <= 0 checked FIRST — the
+        # modulo itself would raise a bare ZeroDivisionError)
         raise ValueError(
             f"n_hashes ({n_hashes}) must be divisible by bands ({bands})")
     rows = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        band_cols.append(F.xxhash64(
+    # ONE pass over the signatures: band keys stacked into an array and
+    # exploded, then a single self-join on (band, key).  The former
+    # per-band join loop re-read the signatures lineage 2*bands times
+    # (column pruning gave each branch a distinct plan, defeating
+    # exchange reuse — the expensive shingle explode upstream ran up to
+    # 8x for the defaults).
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("b"), F.xxhash64(
             *[F.col(f"mh{b * rows + r}") for r in range(rows)],
-            F.lit(b)).alias(f"band{b}"))
-    banded = signatures.select(id_col, *band_cols)
-    pairs = None
-    for b in range(bands):
-        a = banded.select(F.col(id_col).alias("id_a"),
-                          F.col(f"band{b}").alias("_bk"))
-        c = banded.select(F.col(id_col).alias("id_b"),
-                          F.col(f"band{b}").alias("_bk"))
-        p = (a.join(c, "_bk").filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+            F.lit(b)).alias("h"))
+        for b in range(bands)])
+    bd = (signatures.select(id_col, F.explode(band_arr).alias("_z"))
+          .select(id_col, F.col("_z.b").alias("_b"),
+                  F.col("_z.h").alias("_h")))
+    a = bd.select(F.col(id_col).alias("id_a"), "_b", "_h")
+    c = bd.select(F.col(id_col).alias("id_b"), "_b", "_h")
+    return (a.join(c, ["_b", "_h"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
@@ -197,7 +212,17 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     # alone lets column pruning or a plan split recompute the explode
     sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_set")) \
         .persist()
+    try:
+        return _minhash_dedup_body(sets, df, id_col, n_hashes, n_bands,
+                                   threshold)
+    finally:
+        # unpersist even when a guard below raises (e.g. lsh_candidates'
+        # divisibility ValueError) — the cached shingle sets otherwise
+        # stay pinned for the application's lifetime
+        sets.unpersist()
 
+
+def _minhash_dedup_body(sets, df, id_col, n_hashes, n_bands, threshold):
     def _mh(i):
         # closure factory: a default-arg lambda would be misparsed as the
         # two-parameter (element, index) HOF form
@@ -222,7 +247,6 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
                 # them eagerly so `sets` can be unpersisted before the
                 # lazy grouping stage evaluates
                 .localCheckpoint(eager=True))
-    sets.unpersist()
     return dedup_groups(verified, df, id_col)
 
 

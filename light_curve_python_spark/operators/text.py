@@ -39,7 +39,15 @@ BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def with_word_tokens(df: DataFrame, text_col: str = "text",
-                     out_col: str = "words") -> DataFrame:
+                     out_col: str = "words",
+                     _internal: bool = False) -> DataFrame:
+    if _internal and out_col in df.columns:
+        # the calling operator will DROP this column on the way out —
+        # overwriting a user's same-named column would silently destroy
+        # it (the reserved-name convention used across the engine)
+        raise ValueError(
+            f"this operator reserves the '{out_col}' column name; "
+            f"rename it first")
     return df.withColumn(
         out_col, F.filter(F.split(F.col(text_col), r"\s+"),
                           lambda w: w != ""))
@@ -56,15 +64,17 @@ def _quality_signals(text_col: str):
         words, lambda w: w.isin(*LANG_STOPWORDS["en"])))
     n_punct = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    avg_word_len = (F.aggregate(words, F.lit(0),
-                                lambda acc, w: acc + F.length(w))
-                    / n_words)
+    # empty/whitespace-only docs: NULL ratios, not DIVIDE_BY_ZERO —
+    # Spark 4 runs ANSI-on by default, so an unguarded x/0 kills the
+    # whole job on the first degenerate doc
+    avg_word_len = F.when(n_words > 0, F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words)
     return {
         "n_words": n_words,
         "n_chars": n_chars,
         "avg_word_len": avg_word_len,
-        "stopword_ratio": stop / n_words,
-        "punct_ratio": n_punct / n_chars,
+        "stopword_ratio": F.when(n_words > 0, stop / n_words),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars),
     }
 
 
@@ -72,7 +82,7 @@ def text_quality(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality metrics: word/char counts, mean word length,
     punctuation + uppercase + stopword ratios, type-token ratio."""
-    d = with_word_tokens(df, text_col)
+    d = with_word_tokens(df, text_col, _internal=True)
     words = F.col("words")
     sig = _quality_signals(text_col)
     n_chars = sig["n_chars"]
@@ -86,8 +96,9 @@ def text_quality(df: DataFrame, text_col: str = "text",
         sig["avg_word_len"].alias("avg_word_len"),
         sig["stopword_ratio"].alias("stopword_ratio"),
         sig["punct_ratio"].alias("punct_ratio"),
-        (n_upper / n_chars).alias("upper_ratio"),
-        (F.size(F.array_distinct(words)) / sig["n_words"])
+        F.when(n_chars > 0, n_upper / n_chars).alias("upper_ratio"),
+        F.when(sig["n_words"] > 0,
+               F.size(F.array_distinct(words)) / sig["n_words"])
         .alias("type_token_ratio"),
     )
 
@@ -96,7 +107,7 @@ def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language heuristic: argmax of per-language stopword
     counts, ties broken by language code (deterministic)."""
-    d = with_word_tokens(df, text_col)
+    d = with_word_tokens(df, text_col, _internal=True)
 
     def _score(lang, sw):
         # factory closure: a default-arg lambda would be mistaken for the
@@ -113,8 +124,15 @@ def language_id(df: DataFrame, text_col: str = "text",
     scores = [_score(lang, sw)
               for lang, sw in sorted(LANG_STOPWORDS.items())]
     best = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    return d.select(id_col, best.getField("lang").alias("predicted_lang"),
-                    best.getField("hits").alias("stopword_hits"))
+    # zero (or NULL-text) stopword hits carry NO language evidence: the
+    # all-zero tie used to pick the greatest language code ('zh'),
+    # labeling every stopword-free English headline / code snippet /
+    # URL-heavy doc Chinese — map it to 'und' instead
+    hits = best.getField("hits")
+    return d.select(id_col,
+                    F.when(hits > 0, best.getField("lang"))
+                    .otherwise(F.lit("und")).alias("predicted_lang"),
+                    hits.alias("stopword_hits"))
 
 
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text",
@@ -145,7 +163,7 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     expressions over a single scan.  Returns the input rows plus the
     signal columns and a ``keep`` flag — filter on ``keep`` (kept as a
     column so reject-reason analytics stay one groupBy away)."""
-    d = with_word_tokens(df, text_col)
+    d = with_word_tokens(df, text_col, _internal=True)
     sig = _quality_signals(text_col)
     d = (d.withColumn("n_words", sig["n_words"])
          .withColumn("avg_word_len", sig["avg_word_len"])

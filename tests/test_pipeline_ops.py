@@ -774,3 +774,41 @@ def test_temperature_rates_null_stratum_raises(spark):
                                "doc_id long, source string")
     with pytest.raises(ValueError, match="NULL"):
         temperature_rates(df)
+
+
+def test_text_review_fixes(spark):
+    """Round-5 text/dedup review fixes: empty docs don't crash ANSI
+    division, zero-hit docs are 'und' not 'zh', reserved-words guard,
+    null-id duplicate groups keep one representative, lsh bands guard."""
+    from light_curve_python_spark.operators.dedup import (exact_dedup,
+                                                          lsh_candidates)
+    from light_curve_python_spark.operators.text import (language_id,
+                                                         quality_filter,
+                                                         text_quality)
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "the cat sat of the mat and hat"),
+         (3, "Breaking News Weather Update"), (4, None)],
+        "doc_id long, text string")
+    tq = text_quality(docs).toPandas().set_index("doc_id")
+    assert tq.loc[0].isna().avg_word_len  # NULL ratios, no crash
+    assert tq.loc[2, "n_words"] == 8
+    qf = quality_filter(docs, min_words=1).toPandas()
+    assert len(qf) == 5                    # whole corpus survives the scan
+    li = language_id(docs).toPandas().set_index("doc_id")
+    assert li.loc[2, "predicted_lang"] == "en"
+    assert li.loc[3, "predicted_lang"] == "und"   # was 'zh'
+    assert li.loc[4, "predicted_lang"] == "und"   # NULL text
+    with pytest.raises(ValueError, match="reserves"):
+        quality_filter(docs.withColumn("words", F.lit("x")))
+    # null-id duplicate group keeps exactly one representative
+    dd = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (5, "y")],
+        "doc_id long, text string")
+    out = exact_dedup(dd, ["text"]).toPandas()
+    assert len(out) == 2                   # was 1 (group silently lost)
+    assert out[out.text == "x"].dup_count.iloc[0] == 2
+    # bands guard raises ValueError, not ZeroDivisionError
+    sigs = spark.createDataFrame([(1, 2, 3)], "doc_id long, mh0 long, "
+                                              "mh1 long")
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidates(sigs, n_hashes=2, bands=0)
