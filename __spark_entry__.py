@@ -1343,8 +1343,7 @@ def q_seq_windows(spark, sf_dir):
     from light_curve_python_spark.operators.reductions import (
         non_overlapping_windows)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = non_overlapping_windows(emb, arr_col="embedding", seq_size=16,
-                                  id_col="vec_id")
+    out = non_overlapping_windows(emb, arr_col="embedding", seq_size=16)
     out = out.withColumn("window_idx", F.col("window_idx").cast("long"))
     return _seq_exploded(out, extra=("window_idx",))
 

@@ -42,6 +42,13 @@ def asof_join(probes: DataFrame, obs: DataFrame, on: Sequence[str] | str,
 
     tolerance: maximum allowed ``ts - t`` (match older than that -> null),
     mirroring ``pandas.merge_asof(tolerance=...)``.
+
+    NULL handling mirrors DuckDB ASOF / pandas merge_asof: observations
+    with a NULL ``right_ts`` or NULL key never match; probes with NULL
+    keys are kept with no-match (NULL) asof columns.  Among observations
+    TIED on ``right_ts``, the matched row is arrival-order-dependent
+    (same as both oracles) — dedupe or pre-aggregate tied observation
+    timestamps if reproducibility across retries matters.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
@@ -52,6 +59,14 @@ def asof_join(probes: DataFrame, obs: DataFrame, on: Sequence[str] | str,
     overlap = set(value_cols) & set(probes.columns)
     if overlap:
         raise ValueError(f"value_cols collide with probe columns: {overlap}")
+    suffixed = {f"{c}{suffix}" for c in value_cols} | {f"{right_ts}{suffix}"}
+    dup_out = suffixed & set(probes.columns)
+    if dup_out:
+        # e.g. chaining two asof_joins with the same suffix: the rename
+        # at the end would silently produce duplicate column names
+        raise ValueError(
+            f"output names collide with probe columns: {sorted(dup_out)} "
+            f"— pass a different suffix")
     reserved = {"__asof_t", "_t", "_is_probe", "_matched_t", "_obs_row"}
     taken = reserved & (set(value_cols) | set(probes.columns))
     if taken:
@@ -60,7 +75,16 @@ def asof_join(probes: DataFrame, obs: DataFrame, on: Sequence[str] | str,
         # drop operate on an ambiguous reference
         raise ValueError(f"column names reserved by asof_join: {taken}")
 
-    tagged_obs = obs.select(
+    # ASOF semantics drop rows that can never match: a NULL observation
+    # time has no position on the axis (it would sort FIRST and its
+    # non-null struct would fill every no-match probe), and NULL join
+    # keys never equal anything in DuckDB ASOF / pandas merge_asof —
+    # but Window.partitionBy groups NULLs together, so null-key obs must
+    # not enter the union (null-key PROBES stay and get no-match rows)
+    obs_matchable = obs.filter(F.col(right_ts).isNotNull())
+    for kcol in keys:
+        obs_matchable = obs_matchable.filter(F.col(kcol).isNotNull())
+    tagged_obs = obs_matchable.select(
         *keys,
         F.col(right_ts).cast("double").alias("_t"),
         F.col(right_ts).cast("double").alias("_matched_t"),

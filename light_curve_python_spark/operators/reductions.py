@@ -85,7 +85,7 @@ def reduce_sequence(df: DataFrame, arr_col: str = "tokens",
 
 
 def non_overlapping_windows(df: DataFrame, arr_col: str = "tokens",
-                            seq_size: int = 128, id_col: str = "doc_id",
+                            seq_size: int = 128,
                             out_col: str = "sequence",
                             mask_col: str = "mask",
                             window_idx_col: str = "window_idx") -> DataFrame:

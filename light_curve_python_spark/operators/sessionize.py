@@ -23,13 +23,19 @@ def sessionize(df: DataFrame, on, ts_col: str, gap: float,
     """Adds ``session_col``: 1-based session index per key.  ``ts_col`` must
     be numeric (seconds, or any monotone unit ``gap`` shares)."""
     keys = _keys(on)
+    if "_new_session" in df.columns:
+        raise ValueError("sessionize reserves the '_new_session' column "
+                         "name; rename it first")
+    # a NULL timestamp cannot be sessionized: it sorts first, starts its
+    # own phantom session, and shifts every real session's index — drop
+    # such rows (documented contract; validate ts upstream to keep them)
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     prev = F.lag(ts_col, 1).over(w)
     new_flag = F.when(
         prev.isNull() | (F.col(ts_col) - prev > F.lit(float(gap))),
         F.lit(1)).otherwise(F.lit(0))
-    running = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc()) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("_new_session", new_flag) \
              .withColumn(session_col, F.sum("_new_session").over(running)) \
              .drop("_new_session")

@@ -531,7 +531,7 @@ def test_review_fixes_operator_guards(spark):
     # empty array -> zero windows (reference range(0, 0, n) semantics)
     seqs = spark.createDataFrame(
         [(1, [1, 2, 3]), (2, [])], "vec_id long, tokens array<int>")
-    w = non_overlapping_windows(seqs, seq_size=2, id_col="vec_id")
+    w = non_overlapping_windows(seqs, seq_size=2)
     got = {r.vec_id: r for r in w.collect()}
     assert sum(1 for r in w.collect() if r.vec_id == 2) == 0
     assert sum(1 for r in w.collect() if r.vec_id == 1) == 2

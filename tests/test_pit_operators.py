@@ -213,3 +213,47 @@ def test_asof_join_preserves_matched_null(spark):
     assert out.loc[5.0, "v_asof"] == 7.0
     assert pd.isna(out.loc[0.5, "v_asof"])       # no match at all
     assert pd.isna(out.loc[0.5, "t_asof"])
+
+
+def test_asof_null_semantics(spark):
+    """DuckDB ASOF / merge_asof parity on degenerate inputs: NULL-t
+    observations never match (they used to sort first and fill every
+    no-match probe), NULL keys never equal each other (window
+    partitioning grouped them), and chained suffixes are rejected."""
+    from light_curve_python_spark.operators.asof import asof_join
+    obs = spark.createDataFrame(
+        [("k", None, 99.0), ("k", 3.0, 7.0), (None, 1.0, 55.0)],
+        "key string, t double, v double")
+    probes = spark.createDataFrame(
+        [("k", 0.5), ("k", 4.0), (None, 5.0)],
+        "key string, ts double")
+    out = asof_join(probes, obs, "key").toPandas() \
+        .sort_values(["key", "ts"], na_position="first") \
+        .reset_index(drop=True)
+    # null-key probe: no match (null != null)
+    assert pd.isna(out.loc[0, "v_asof"]) and pd.isna(out.loc[0, "t_asof"])
+    # probe before any real obs: no match (the NULL-t obs must not fill)
+    assert pd.isna(out.loc[1, "v_asof"])
+    # real match unaffected
+    assert out.loc[2, "v_asof"] == 7.0 and out.loc[2, "t_asof"] == 3.0
+    # chaining with the same suffix raises instead of duplicating names
+    import pytest as _pt
+    with _pt.raises(ValueError, match="suffix"):
+        asof_join(out_sp := asof_join(probes, obs, "key"), obs, "key")
+
+
+def test_sessionize_null_ts_dropped(spark):
+    """NULL-ts rows started phantom sessions and shifted every real
+    session index; they are now dropped (documented contract)."""
+    from light_curve_python_spark.operators.sessionize import sessionize
+    df = spark.createDataFrame(
+        [("k", None), ("k", None), ("k", 1.0), ("k", 2.0), ("k", 100.0)],
+        "key string, ts double")
+    out = sessionize(df, "key", "ts", gap=10.0).toPandas() \
+        .sort_values("ts").reset_index(drop=True)
+    assert len(out) == 3
+    assert list(out.session_seq) == [1, 1, 2]   # was [3, 3, 4]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="_new_session"):
+        sessionize(df.withColumn("_new_session", F.lit(1)),
+                   "key", "ts", gap=10.0)
