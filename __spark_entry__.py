@@ -30,6 +30,7 @@ from light_curve_python_spark.operators.asof import asof_join
 from light_curve_python_spark.operators.bins import bin_series
 from light_curve_python_spark.operators.extract import FeatureExtractor
 from light_curve_python_spark.operators.sessionize import session_stats
+from light_curve_python_spark.plans.balance import rebalance_scan, spread
 from light_curve_python_spark.operators.windows import (
     backfill,
     rolling_range_agg,
@@ -908,61 +909,134 @@ MAX_SHINGLE_DF = 400   # > any df in the test corpora; the PATH is exercised
 def q_nearest_neighbor_jaccard(spark, sf_dir):
     """Per-doc nearest near-duplicate by 3-gram shingle Jaccard, candidates
     generated by an inverted shingle index (pairs must share >= 1 shingle —
-    a guaranteed superset of pairs with jaccard > 0)."""
-    docs = _docs(spark, sf_dir)
+    a guaranteed superset of pairs with jaccard > 0).
+
+    r6 single-subtree plan (the former shape recomputed the whole shingle
+    pipeline up to 8x: self-join sides x two sizes joins x the symmetric
+    union — 58 Exchanges / 16 scans in the physical plan):
+    - per-doc DISTINCT hashed shingles IN-ROW (array_distinct before the
+      explode) — the cross-row .distinct() exchange is gone; 8-byte
+      xxhash64 keys instead of ~30-byte strings as before (Jaccard over
+      per-doc distinct hashed shingles equals Jaccard over the strings;
+      a collision would be caught by the DuckDB twin, which keeps them);
+    - the inverted index built ONCE as (sh, list<doc_id>) posting lists;
+      the df prune (identical in the DuckDB twin, so parity holds whether
+      or not the cap fires) is a size() filter on the list;
+    - candidate pairs + |A ∩ B| from a bounded nested explode of each
+      posting list (fan-out d*(d-1)/2 per shingle, <= cap^2 under the df
+      prune) into one partially-aggregated groupBy — no self-join, no
+      second shuffle of the index;
+    - top-1 per doc via a partial-aggregating min(struct(-jaccard, doc_b))
+      over the two exploded directions — replaces the row_number sort
+      window over the doubled pair set (same total order: jaccard DESC,
+      doc_b ASC; jaccard > 0 so the negation is exact)."""
+    docs = rebalance_scan(_docs(spark, sf_dir).select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda w: w != "").alias("ws"))
     n = F.size("ws") - (SHINGLE_K - 1)
+    sh_arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.xxhash64(F.concat_ws(
+            " ", F.slice(F.col("ws"), i + 1, SHINGLE_K)))))
     shingles = (toks.filter(n >= 1)
-                .select("doc_id", F.explode(F.transform(
-                    F.sequence(F.lit(0), n - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("ws"), i + 1, SHINGLE_K))))
-                    .alias("sh"))
-                .distinct()
-                # 8-byte join/shuffle keys instead of ~30-byte strings:
-                # Jaccard over per-doc DISTINCT hashed shingles equals
-                # Jaccard over the strings (deterministic xxhash64; a
-                # collision would be caught by the DuckDB twin, which
-                # keeps strings)
-                .select("doc_id", F.xxhash64("sh").alias("sh")))
-    # df pruning (identical in the DuckDB twin, so parity holds whether or
-    # not the cap fires): shingles shared by > MAX_SHINGLE_DF docs are
-    # dropped from BOTH the index and the size counts — the k-squared
-    # hot-shingle escape hatch the production operator defaults on.
-    # WINDOW-count (one shuffle on sh) rather than groupBy+join: the
-    # downstream self-join shuffles on sh anyway, so the window's
-    # partitioning is reused and the prune costs no extra exchange
-    shingles = (shingles
-                .withColumn("_df",
-                            F.count("*").over(Window.partitionBy("sh")))
-                .filter(F.col("_df") <= MAX_SHINGLE_DF)
-                .drop("_df"))
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = (shingles.alias("a")
-             .join(shingles.alias("b"), "sh")
-             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+                .select("doc_id", F.explode(sh_arr).alias("sh")))
+    # posting lists materialized ONCE (eager localCheckpoint, kilobyte-to-
+    # megabyte scale: one short row per distinct shingle) — the four
+    # consumers below (pair generation, sizes, and the single-shingle
+    # branch twice) otherwise each recompute the whole shingle pipeline:
+    # AQE's stage reuse did not canonicalize them together (observed 3
+    # full scans in the executed plan), and this is the same lineage-
+    # truncation device connected_components already uses
+    posts = (shingles.groupBy("sh")
+             .agg(F.collect_list("doc_id").alias("ds"))
+             .filter(F.size("ds") <= MAX_SHINGLE_DF)
+             .localCheckpoint(eager=True))
+    # per-doc surviving-shingle counts: dimension-scale (one row per doc),
+    # broadcast-hinted below — Catalyst's pre-AQE size estimate for the
+    # exploded pair aggregate is unreliable and it otherwise tries to
+    # broadcast the PAIR side (observed OOM at sf1)
+    sizes = (posts.select(F.explode("ds").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+    # spread(): the posting lists are megabytes but explode to ~d^2/2 pair
+    # rows per shingle — without the explicit repartition AQE coalesces
+    # this stage to a couple of tasks (it sizes reducers by input bytes).
+    # Pair generation is a double explode + codegen filter rather than a
+    # HOF filter(): the HOF lambda is interpreted per element and builds
+    # a filtered array per outer row (measured 17.8 s vs 15.4 s at sf1
+    # for the whole pair stage).  The explicit repartition on the
+    # grouping keys then makes the count a post-shuffle-only aggregation:
+    # map-side partial aggregation is pure overhead here (the dedup
+    # factor is ~1.1 — measured 115.9M distinct of 128.8M pair rows at
+    # sf1) and its ~10^6-entry per-task hash maps dominated the stage
+    # (15.8 s partial+final vs 8.8 s repartition+complete).
+    pairs = (spread(posts).select(F.explode("ds").alias("doc_a"), "ds")
+             .select("doc_a", F.explode("ds").alias("doc_b"))
+             .filter(F.col("doc_b") > F.col("doc_a"))
+             .repartition("doc_a", "doc_b")
+             .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("inter")))
-    scored = (pairs
-              .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                    .withColumnRenamed("n_sh", "na"), "doc_a")
-              .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                    .withColumnRenamed("n_sh", "nb"), "doc_b")
+    # EXACT top-1 split (the min(struct) argmax plans as a SortAggregate,
+    # so feeding it all ~10^8 candidate pairs sorts them; the split cuts
+    # its input ~10x without changing any result):
+    # (a) pairs sharing >= 2 shingles keep their exact jaccard;
+    # (b) for inter == 1 pairs, jaccard = 1/(na + nb - 1) is monotone in
+    #     (nb, doc_b) alone, so each doc's best single-shingle candidate
+    #     is the (min n_sh, then min doc_id) OTHER member over its
+    #     posting lists — computable per list (top-2 members suffice)
+    #     with no pair fan-out.  Every candidate below the per-doc best
+    #     is dominated; an inter >= 2 pair surfacing in (b) carries an
+    #     UNDERESTIMATE of its exact jaccard (1 <= inter), so it is
+    #     strictly dominated by its own exact entry from (a) and can
+    #     never win or tie-break wrongly.  min over (a) union (b) is
+    #     therefore the min over all true candidates.
+    strong = (pairs.filter(F.col("inter") >= 2)
+              .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                                .withColumnRenamed("n_sh", "na")), "doc_a")
+              .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                                .withColumnRenamed("n_sh", "nb")), "doc_b")
               .withColumn("jaccard", F.col("inter")
                           / (F.col("na") + F.col("nb") - F.col("inter"))))
-    both = scored.select("doc_a", "doc_b", "jaccard").unionByName(
-        scored.select(F.col("doc_b").alias("doc_a"),
-                      F.col("doc_a").alias("doc_b"), "jaccard"))
-    pick = Window.partitionBy("doc_a").orderBy(F.col("jaccard").desc(),
-                                               F.col("doc_b").asc())
-    return (both.withColumn("rk", F.row_number().over(pick))
-            .filter(F.col("rk") == 1)
-            .select(F.col("doc_a").alias("doc_id"),
-                    F.col("doc_b").alias("nearest_doc_id"),
-                    _r("jaccard", 6).alias("jaccard")))
+    sym = (strong.select(F.explode(F.array(
+        F.struct(F.col("doc_a").alias("d"), F.col("doc_b").alias("o"),
+                 F.col("jaccard").alias("j")),
+        F.struct(F.col("doc_b").alias("d"), F.col("doc_a").alias("o"),
+                 F.col("jaccard").alias("j")))).alias("_z"))
+        .select(F.col("_z.d").alias("d"), F.col("_z.o").alias("o"),
+                F.col("_z.j").alias("j")))
+    mem = (posts.select("sh", F.explode("ds").alias("doc_id"))
+           .join(F.broadcast(sizes), "doc_id"))
+    top2 = (mem.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("sh").orderBy(F.col("n_sh").asc(),
+                                             F.col("doc_id").asc())))
+        .filter(F.col("_rn") <= 2)
+        .groupBy("sh").agg(F.min(F.struct("n_sh", "doc_id")).alias("_m1"),
+                           F.max(F.struct("n_sh", "doc_id")).alias("_m2"),
+                           F.count("*").alias("_c")))
+    single = (mem.join(F.broadcast(top2.filter(F.col("_c") >= 2)), "sh")
+              .withColumn("_best", F.when(
+                  F.col("_m1.doc_id") == F.col("doc_id"),
+                  F.col("_m2")).otherwise(F.col("_m1")))
+              # 1/(na+nb-1) in the exact arithmetic of the inter==1 pair
+              # jaccard: long numerator / long denominator
+              .select(F.col("doc_id").alias("d"),
+                      F.col("_best.doc_id").alias("o"),
+                      (F.lit(1).cast("bigint")
+                       / (F.col("n_sh") + F.col("_best.n_sh")
+                          - F.lit(1).cast("bigint"))).alias("j"))
+              .groupBy("d").agg(F.min(F.struct(
+                  (-F.col("j")).alias("nj"),
+                  F.col("o").alias("doc_b"))).alias("_m"))
+              .select("d", (-F.col("_m.nj")).alias("j"),
+                      F.col("_m.doc_b").alias("o")))
+    best = (sym.unionByName(single.select("d", "o", "j"))
+            .groupBy("d")
+            .agg(F.min(F.struct((-F.col("j")).alias("nj"),
+                                F.col("o").alias("doc_b"))).alias("_m")))
+    return best.select(F.col("d").alias("doc_id"),
+                       F.col("_m.doc_b").alias("nearest_doc_id"),
+                       _r(-F.col("_m.nj"), 6).alias("jaccard"))
 
 
 SQL_NN_JACCARD = f"""
@@ -1016,17 +1090,23 @@ def q_cosine_topk(spark, sf_dir):
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id",
                    F.col("embedding").cast("array<double>").alias("e")))
-    probes = (emb.filter(F.col("vec_id") < N_PROBES_ANN)
-              .select(F.col("vec_id").alias("probe_id"),
-                      F.col("e").alias("pe")))
-    dot = F.aggregate(F.zip_with("e", "pe", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    pairs = (emb.crossJoin(F.broadcast(probes))
+    # norms computed ONCE PER ROW on each side before the |probes|-way
+    # fan-out (the same expression previously re-evaluated per PAIR paid
+    # 2 of the 3 interpreted array traversals redundantly — bitwise-equal
+    # values, just not recomputed); corpus side rebalanced so a few-split
+    # scan does not serialize the fan-out on one task
+    probes = (emb.filter(F.col("vec_id") < N_PROBES_ANN)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("e").alias("pe"))
+              .withColumn("_np", norm(F.col("pe"))))
+    corpus = rebalance_scan(emb).withColumn("_ne", norm(F.col("e")))
+    dot = F.aggregate(F.zip_with("e", "pe", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (corpus.crossJoin(F.broadcast(probes))
              .filter(F.col("vec_id") != F.col("probe_id"))
-             .withColumn("cosine", dot / (norm(F.col("e"))
-                                          * norm(F.col("pe")))))
+             .withColumn("cosine", dot / (F.col("_ne") * F.col("_np"))))
     pick = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),
                                                   F.col("vec_id").asc())
     return (pairs.withColumn("rk", F.row_number().over(pick))

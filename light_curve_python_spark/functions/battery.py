@@ -365,8 +365,12 @@ class PrefixBattery:
         cw = ctx.get("cw") if need_stetson and sig is not None else None
         cwm = ctx.get("cwm") if need_stetson and sig is not None else None
         if nstds:
-            means = ctx.mean
-            stds = ctx.std1
+            # zero/one-point windows divide by k or k-1 here; the NaNs are
+            # the intended fill signal — silence exactly this computation
+            # so real NaN regressions elsewhere still warn
+            with np.errstate(invalid="ignore", divide="ignore"):
+                means = ctx.mean
+                stds = ctx.std1
         need_wsums = (need_stetson or need_roms) and sig is not None
         # ping-pong sorted buffers; w/mw ride along in the SAME sorted order
         buf_a = np.empty(n)

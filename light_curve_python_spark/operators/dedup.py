@@ -22,6 +22,8 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.balance import rebalance_scan, spread
+
 __all__ = ["content_digest",
            "exact_dedup", "shingle", "minhash_signatures", "lsh_candidates",
            "simhash64", "ngram_jaccard_pairs", "connected_components",
@@ -65,16 +67,25 @@ def exact_dedup(df: DataFrame, cols: Sequence[str],
 
 def shingle(df: DataFrame, text_col: str = "text", k: int = 3,
             id_col: str = "doc_id") -> DataFrame:
-    """(id, sh) distinct word k-gram shingles."""
+    """(id, sh) distinct word k-gram shingles.
+
+    Distinctness is per-doc, so it is computed IN-ROW (``array_distinct``
+    on each row's shingle array) instead of with a cross-row
+    ``.distinct()`` — same rows, one exchange fewer (the former distinct
+    shuffled every (id, shingle-string) pair).  Assumes ``id_col``
+    identifies its row, the corpus contract every operator here shares;
+    pre-aggregate duplicate-id input first.  ``rebalance_scan`` spreads
+    the explode across the cluster when the corpus scan has fewer splits
+    than cores (no-op at production scale)."""
+    base = rebalance_scan(df.select(id_col, text_col))
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    base = df.select(id_col, ws.alias("_ws"))
+    arrs = base.select(id_col, ws.alias("_ws"))
     n = F.size("_ws") - (k - 1)
-    return (base.filter(n >= 1)
-            .select(id_col, F.explode(F.transform(
+    return (arrs.filter(n >= 1)
+            .select(id_col, F.explode(F.array_distinct(F.transform(
                 F.sequence(F.lit(0), n - 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i + 1, k))))
-                .alias("sh"))
-            .distinct())
+                lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i + 1, k)))))
+                .alias("sh")))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -353,22 +364,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     for genuinely similar pairs survive through their rarer shingles (the
     standard inverted-index prefix/df-pruning argument)."""
     sh = shingle(df, text_col, k, id_col)
-    idx = sh
-    if max_shingle_df is not None:
-        # window-count on sh: one shuffle whose partitioning the candidate
-        # self-join on sh then reuses — cheaper than a groupBy+join prune
-        idx = (sh.withColumn("_df",
-                             F.count("*").over(Window.partitionBy("sh")))
-               .filter(F.col("_df") <= max_shingle_df)
-               .drop("_df"))
-    # candidates AND their shared-shingle count in ONE aggregation: the
-    # index join emits one row per shared shingle per pair (``shingle``
-    # returns distinct (id, sh) rows), so groupBy(pair).count() IS
-    # |A ∩ B| over the index — no collect_set arrays in any shuffle,
-    # only scalar (id, id, count) rows
-    shared = (idx.select(F.col(id_col).alias("id_a"), "sh")
-              .join(idx.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-              .filter(F.col("id_a") < F.col("id_b"))
+    # ONE inverted-index pass: posting lists per shingle (the df-prune is
+    # a size() filter on the list), candidate pairs generated by a nested
+    # explode of each list — no self-join, so the shingle relation is
+    # neither shuffled twice nor recomputed per join side, and the
+    # per-shingle fan-out stays the same d*(d-1)/2 the join produced
+    # (bounded by cap^2 under the default).  groupBy(pair).count() over
+    # the generated pairs IS |A ∩ B| over the index, exactly as before.
+    posts = sh.groupBy("sh").agg(F.collect_list(F.col(id_col)).alias("_ds"))
+    kept = posts if max_shingle_df is None else \
+        posts.filter(F.size("_ds") <= max_shingle_df)
+    # spread(): AQE would coalesce the small posting-list aggregate to a
+    # handful of tasks (it sizes reducers by input bytes) and serialize
+    # the multiplicative pair explosion there
+    shared = (spread(kept).select(F.explode("_ds").alias("id_a"), "_ds")
+              .select("id_a",
+                      F.explode(F.filter(
+                          "_ds", lambda x: x > F.col("id_a"))).alias("id_b"))
               .groupBy("id_a", "id_b")
               .agg(F.count("*").alias("_inter")))
     if max_shingle_df is not None:
@@ -386,13 +398,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .agg(F.count("*").alias("_inter")))
     # |A| and |B| as per-doc scalars from the UNPRUNED shingle relation:
     # jaccard = n/(|A|+|B|-n) — identical to the former full-set
-    # array_intersect verify, without shipping a single array
+    # array_intersect verify, without shipping a single array.  The sizes
+    # side is dimension-scale (one row per doc) and hinted broadcast:
+    # Catalyst's size estimate for the exploded pair aggregate is
+    # unreliable and may otherwise broadcast the PAIR side.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     return (shared
-            .join(sizes.select(F.col(id_col).alias("id_a"),
-                               F.col("_n").alias("_na")), "id_a")
-            .join(sizes.select(F.col(id_col).alias("id_b"),
-                               F.col("_n").alias("_nb")), "id_b")
+            .join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"),
+                                           F.col("_n").alias("_na"))), "id_a")
+            .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"),
+                                           F.col("_n").alias("_nb"))), "id_b")
             .withColumn("jaccard", F.col("_inter")
                         / (F.col("_na") + F.col("_nb") - F.col("_inter")))
             .filter(F.col("jaccard") >= threshold)

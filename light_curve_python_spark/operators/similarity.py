@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from ..plans.balance import rebalance_scan
+
 __all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "with_l2_norm",
            "ivf_train_centers", "ann_recall", "tune_ann"]
 
@@ -67,8 +69,11 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k cosine neighbors for each probe row.  Returns
     (probe_id, rank, neighbor_id, cosine)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    # the per-corpus-row work below is |probes| cosines — rebalance a
+    # few-split scan so it does not serialize on one task (no-op at scale)
+    c = rebalance_scan(corpus) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("_cv"))
     p = probes.select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).cast("array<double>").alias("_pv"))
     pairs = (c.crossJoin(F.broadcast(p))
@@ -194,8 +199,11 @@ def lsh_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     vectors re-attached per-side for the exact re-rank (corpus-side hash
     join on its own id, probe side broadcast)."""
     udf = _buckets_udf(dim, n_planes, seed, n_tables)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    # few-split corpus scans would run the bucket pass and the
+    # bucket-probe join on one task; no-op at production split counts
+    c = rebalance_scan(corpus) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("_cv"))
     p = probes.select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).cast("array<double>").alias("_pv"))
     cb = c.select("neighbor_id",
