@@ -935,10 +935,12 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
         "doc_id",
         F.filter(F.split("text", " "), lambda w: w != "").alias("ws"))
     n = F.size("ws") - (SHINGLE_K - 1)
+    # element_at, not slice(): the per-element slice allocated a k-array
+    # per shingle inside the interpreted HOF (3x this stage at sf1)
     sh_arr = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), n - 1),
+        F.sequence(F.lit(1), n),
         lambda i: F.xxhash64(F.concat_ws(
-            " ", F.slice(F.col("ws"), i + 1, SHINGLE_K)))))
+            " ", *[F.element_at("ws", i + j) for j in range(SHINGLE_K)]))))
     shingles = (toks.filter(n >= 1)
                 .select("doc_id", F.explode(sh_arr).alias("sh")))
     # posting lists materialized ONCE (eager localCheckpoint, kilobyte-to-

@@ -141,8 +141,11 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
 
         return df.withColumn("_cells", nearest_cells(vec_alias))
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    # few-split corpus scans would serialize assignment + search on one
+    # task; no-op at production split counts
+    c = rebalance_scan(corpus) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("_cv"))
     c = _cells(c, "_cv", 1).withColumn("_cell", F.col("_cells")[0]) \
         .drop("_cells")
     p = probes.select(F.col(id_col).alias("probe_id"),
