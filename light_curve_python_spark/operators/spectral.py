@@ -93,13 +93,12 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
         [obs.schema[entity_col]]
         + [T.StructField(n, T.DoubleType()) for n in names])
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        t_all = pdf[t_col].to_numpy(np.float64)
+    def eval_entity(t_all, m_all, s_all, b_all):
         order = np.argsort(t_all, kind="mergesort")
         t_all = t_all[order]
-        m_all = pdf[m_col].to_numpy(np.float64)[order]
-        s_all = pdf[sigma_col].to_numpy(np.float64)[order]
-        b_all = pdf[band_col].to_numpy()[order]
+        m_all = m_all[order]
+        s_all = s_all[order]
+        b_all = b_all[order]
         freqs = periodogram_freq_grid(t_all, resolution, max_freq_factor)
         num = np.zeros(len(freqs))
         den = 0.0
@@ -120,7 +119,6 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
                  if weighting == "chi2" else float(len(m)))
             num += w * p
             den += w
-        out = {entity_col: [pdf[entity_col].iloc[0]]}
         vals = np.full(2 * peaks, np.nan)
         if den > 0:
             power = num / den
@@ -130,13 +128,47 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
             for rank, i in enumerate(top):
                 vals[2 * rank] = 2.0 * _math.pi / freqs[i]
                 vals[2 * rank + 1] = (power[i] - p_mean) / p_std
-        for n, v in zip(names, vals):
-            out[n] = [v]
-        return pd.DataFrame(out)
+        return vals
 
-    return grouped_map_batches(
-        obs.select(entity_col, t_col, m_col, sigma_col, band_col),
-        entity_col, schema, per_group(entity_col, fn))
+    # aggregate-then-map (see FeatureExtractor._extract_agg_arrow): one
+    # list<struct> row per entity via hash agg — no partition sort, no
+    # Python-side groupby over the scalar rows; per-band numerics are
+    # unchanged (band subsequences are t-sorted either way)
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    g = (obs.select(entity_col, t_col, m_col, sigma_col, band_col)
+         .groupBy(entity_col)
+         .agg(F.collect_list(F.struct(
+             F.col(t_col).alias("t"), F.col(m_col).alias("m"),
+             F.col(sigma_col).alias("s"), F.col(band_col).alias("b")))
+             .alias("_curve")))
+
+    def fn(batches):
+        for batch in batches:
+            col = batch.column(batch.schema.names.index("_curve"))
+            values = col.values
+            offs = col.offsets.to_numpy()
+            t_all = values.field(0).to_numpy(zero_copy_only=False) \
+                .astype(np.float64, copy=False)
+            m_all = values.field(1).to_numpy(zero_copy_only=False) \
+                .astype(np.float64, copy=False)
+            s_all = values.field(2).to_numpy(zero_copy_only=False) \
+                .astype(np.float64, copy=False)
+            b_all = values.field(3).to_numpy(zero_copy_only=False)
+            nrows = len(col)
+            feats = np.empty((nrows, 2 * peaks), dtype=np.float64)
+            for i in range(nrows):
+                sl = slice(offs[i], offs[i + 1])
+                feats[i] = eval_entity(t_all[sl], m_all[sl],
+                                       s_all[sl], b_all[sl])
+            out_schema = pa.schema(
+                [batch.schema.field(entity_col)]
+                + [pa.field(n, pa.float64()) for n in names])
+            arrays = [batch.column(batch.schema.names.index(entity_col))] \
+                + [pa.array(feats[:, j]) for j in range(2 * peaks)]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return g.mapInArrow(fn, schema)
 
 
 def multiband_power(obs: DataFrame, bands: Sequence[str],
