@@ -163,6 +163,13 @@ class _FeatureBase:
         t, m, sigma, band = _normalize_input(t, m, sigma, band, sorted,
                                              check)
         if self._bands is None:
+            if band is not None:
+                # reference parity (_base.py:58-63): a band-less feature
+                # instance must REJECT band input, not silently evaluate
+                # over the mixed multi-band magnitudes
+                raise ValueError(
+                    "(band != None) is not supported by this feature "
+                    "instance; construct it with bands=[...]")
             out = self._eval_arrays(t, m, sigma, fill_value)
             # size-1 single-band returns a scalar, like the reference's
             # pure-Python features
@@ -287,7 +294,10 @@ class _FitBase(_FeatureBase):
                  transform=None, bands=None):
         if not isinstance(algorithm, str) or not algorithm:
             raise ValueError("algorithm must be a non-empty string")
-        if transform is not None:
+        # transform=False (and None) request identity — exactly what the
+        # facade does anyway; only a GENUINE transformer request is the
+        # unsupported divergence
+        if transform not in (None, False):
             raise ValueError(
                 "transform is not supported by the compat façade; use "
                 "FeatureExtractor(..., transforms=...) on the Spark path")

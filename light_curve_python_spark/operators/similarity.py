@@ -47,8 +47,36 @@ def _cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     element, the Arrow batch is one BLAS-shaped pass."""
     if not len(a):
         return pd.Series([], dtype="float64")
-    ma = np.vstack(a.to_numpy())
-    mb = np.vstack(b.to_numpy())
+    an = a.to_numpy()
+    bn = b.to_numpy()
+    # null or ragged-length embeddings get NULL (ranked last under desc)
+    # instead of blowing up the whole job in np.vstack — the JVM
+    # expression this UDF replaced emitted NULL for such rows, and one
+    # bad row must not kill a corpus-scale scan.  The validity pass is
+    # O(rows); the vstack fast path below is untouched for clean batches.
+    lens_a = np.fromiter((-1 if v is None else len(v) for v in an),
+                         np.int64, len(an))
+    lens_b = np.fromiter((-1 if v is None else len(v) for v in bn),
+                         np.int64, len(bn))
+    good = (lens_a >= 0) & (lens_a == lens_b)
+    if good.any():
+        dim = np.bincount(lens_a[good].astype(np.int64)).argmax()
+        good &= lens_a == dim
+    if not good.all():
+        vals = np.full(len(an), np.nan)
+        mask = np.ones(len(an), dtype=bool)
+        if good.any():
+            ma = np.vstack(an[good])
+            mb = np.vstack(bn[good])
+            num = np.einsum("ij,ij->i", ma, mb)
+            den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            zero = den == 0.0
+            vals[good] = num / np.where(zero, 1.0, den)
+            gi = np.nonzero(good)[0]
+            mask[gi[~zero]] = False
+        return pd.Series(pd.arrays.FloatingArray(vals, mask))
+    ma = np.vstack(an)
+    mb = np.vstack(bn)
     num = np.einsum("ij,ij->i", ma, mb)
     den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
     # zero-norm vectors get NULL, matching the former JVM x/0.0 — a NaN
@@ -246,8 +274,9 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> float:
     return float(per_probe.agg(F.avg("_r")).collect()[0][0])
 
 
-# (est. cost multiple, n_planes, n_tables): cost ≈ n_tables / 2^n_planes of
-# one exact corpus scan, assuming balanced buckets — ordered cheap→dear
+# (n_planes, n_tables) pairs; cost = n_tables / 2^n_planes of one exact
+# corpus scan (derived in tune_ann), assuming balanced buckets — ordered
+# cheap→dear
 _LSH_LADDER = [(8, 2), (8, 4), (6, 4), (6, 8), (4, 8), (4, 16),
                (3, 16), (2, 8), (2, 16)]
 

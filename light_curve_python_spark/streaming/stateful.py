@@ -30,7 +30,9 @@ def streaming_n_not_det_before_fd(events: DataFrame,
                                   ts_col: str = "ts", m_col: str = "value",
                                   m_threshold: float = 250.0,
                                   sigma_col: str = None,
-                                  signal_to_noise: float = 5.0) -> DataFrame:
+                                  signal_to_noise: float = 5.0,
+                                  sigma_threshold: float = None
+                                  ) -> DataFrame:
     """Streaming count of non-detections before the first detection per
     key.  Two detection rules: with ``sigma_col`` set, a row is a
     detection iff ``m > signal_to_noise * sigma`` — the batch flux twin's
@@ -46,7 +48,15 @@ def streaming_n_not_det_before_fd(events: DataFrame,
     DROPPED (they cannot be folded into an already-advanced counter
     without rewriting history — the same leak-free subset contract as
     ``streaming_pit_features(late_policy='drop')``); state carries
-    across micro-batches."""
+    across micro-batches.
+
+    ``sigma_threshold`` is the r4-era name of ``m_threshold`` — accepted
+    as a deprecated alias so existing callers keep working."""
+    if sigma_threshold is not None:
+        import warnings
+        warnings.warn("sigma_threshold is deprecated; use m_threshold",
+                      DeprecationWarning, stacklevel=2)
+        m_threshold = sigma_threshold
     out_schema = T.StructType([
         events.schema[key_col],
         T.StructField("n_non_detections_before_fd", T.LongType()),

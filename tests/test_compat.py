@@ -420,3 +420,25 @@ def test_bands_with_transform(curve):
             for b in ("g", "r")]
     np.testing.assert_allclose(out, want, rtol=1e-12)
     assert f.names == ("kurtosis_g", "kurtosis_r")
+
+
+def test_bandless_feature_rejects_band(curve):
+    """Reference parity (_base.py:58-63): a band-less feature instance
+    must raise on band= input rather than silently evaluating over the
+    mixed multi-band magnitudes (r5 ADVICE finding)."""
+    t, m, sigma = curve
+    band = np.where(np.arange(len(t)) % 2 == 0, "g", "r")
+    with pytest.raises(ValueError, match="band"):
+        lc.Mean()(t, m, band=band)
+    # banded instances keep accepting band input
+    assert len(lc.Mean(bands=["g", "r"])(t, m, sigma, band)) == 2
+
+
+def test_fit_accepts_transform_false(curve):
+    """transform=False requests identity — exactly what the facade does;
+    only a genuine transformer request raises (r5 ADVICE finding)."""
+    t, m, sigma = curve
+    f = lc.BazinFit("mcmc-lmsder", transform=False)
+    assert lc.BazinFit("mcmc-lmsder", transform=None).names == f.names
+    with pytest.raises(ValueError, match="transform"):
+        lc.BazinFit("mcmc-lmsder", transform="default")

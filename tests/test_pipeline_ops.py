@@ -812,3 +812,30 @@ def test_text_review_fixes(spark):
                                               "mh1 long")
     with pytest.raises(ValueError, match="divisible"):
         lsh_candidates(sigs, n_hashes=2, bands=0)
+
+
+def test_cosine_topk_null_and_ragged_embeddings(spark):
+    """A null (or wrong-length) embedding row must rank last as a NULL
+    cosine, not kill the whole job in np.vstack (r5 ADVICE finding —
+    the JVM expression this UDF replaced emitted NULL for such rows)."""
+    rng = np.random.default_rng(3)
+    vecs = [list(map(float, rng.normal(size=8))) for _ in range(6)]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    rows.append((6, None))                       # null embedding
+    rows.append((7, vecs[0][:5]))                # ragged length
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") == 0)
+    got = cosine_topk(df, probes, k=10).toPandas()
+    # valid neighbors come back with finite cosines and correct order
+    finite = got[np.isfinite(got.cosine.astype(float))]
+    assert set(finite.neighbor_id) == {1, 2, 3, 4, 5}
+    norms = np.array([np.linalg.norm(v) for v in vecs])
+    cos = np.array([np.dot(vecs[i], vecs[0]) / (norms[i] * norms[0])
+                    for i in range(1, 6)])
+    want = np.array([1, 2, 3, 4, 5])[np.argsort(-cos, kind="stable")]
+    np.testing.assert_array_equal(
+        finite.sort_values("rank").neighbor_id.to_numpy(), want)
+    # the bad rows rank last with NULL cosine, never first
+    bad = got[got.neighbor_id.isin([6, 7])]
+    assert bad.cosine.isna().all()
+    assert set(bad["rank"]) == {6, 7}
