@@ -1016,7 +1016,10 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
         .groupBy("sh").agg(F.min(F.struct("n_sh", "doc_id")).alias("_m1"),
                            F.max(F.struct("n_sh", "doc_id")).alias("_m2"),
                            F.count("*").alias("_c")))
-    single = (mem.join(F.broadcast(top2.filter(F.col("_c") >= 2)), "sh")
+    # NO broadcast hint on top2: it is one row per distinct SHINGLE —
+    # O(corpus tokens), not dimension-scale — so AQE must stay free to
+    # pick a shuffle join at real corpus size (it broadcasts here)
+    single = (mem.join(top2.filter(F.col("_c") >= 2), "sh")
               .withColumn("_best", F.when(
                   F.col("_m1.doc_id") == F.col("doc_id"),
                   F.col("_m2")).otherwise(F.col("_m1")))

@@ -65,6 +65,30 @@ def exact_dedup(df: DataFrame, cols: Sequence[str],
             .drop("_digest", "_rn"))
 
 
+def _shingle_stream(df: DataFrame, text_col: str, k: int, id_col: str,
+                    distinct: bool) -> DataFrame:
+    """(id, sh) word k-gram stream — THE one tokenize/window pipeline
+    behind shingle() and minhash_signatures (the only intended
+    difference is the in-row dedup).  element_at, not slice(): the
+    per-element slice allocated a k-array per shingle inside the
+    interpreted HOF (3x the whole stage at sf1: 1.73 s -> 0.59 s for
+    2.6M shingles).  ``rebalance_scan`` spreads the explode across the
+    cluster when the corpus scan has fewer splits than cores (no-op at
+    production scale)."""
+    base = rebalance_scan(df.select(id_col, text_col))
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    arrs = base.select(id_col, ws.alias("_ws"))
+    n = F.size("_ws") - (k - 1)
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", *[F.element_at("_ws", i + j)
+                                     for j in range(k)]))
+    if distinct:
+        sh_arr = F.array_distinct(sh_arr)
+    return (arrs.filter(n >= 1)
+            .select(id_col, F.explode(sh_arr).alias("sh")))
+
+
 def shingle(df: DataFrame, text_col: str = "text", k: int = 3,
             id_col: str = "doc_id") -> DataFrame:
     """(id, sh) distinct word k-gram shingles.
@@ -73,23 +97,11 @@ def shingle(df: DataFrame, text_col: str = "text", k: int = 3,
     on each row's shingle array) instead of with a cross-row
     ``.distinct()`` — same rows, one exchange fewer (the former distinct
     shuffled every (id, shingle-string) pair).  Assumes ``id_col``
-    identifies its row, the corpus contract every operator here shares;
-    pre-aggregate duplicate-id input first.  ``rebalance_scan`` spreads
-    the explode across the cluster when the corpus scan has fewer splits
-    than cores (no-op at production scale)."""
-    base = rebalance_scan(df.select(id_col, text_col))
-    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    arrs = base.select(id_col, ws.alias("_ws"))
-    n = F.size("_ws") - (k - 1)
-    # element_at, not slice(): the per-element slice allocated a k-array
-    # per shingle inside the interpreted HOF (3x the whole stage at sf1:
-    # 1.73 s -> 0.59 s for 2.6M shingles)
-    return (arrs.filter(n >= 1)
-            .select(id_col, F.explode(F.array_distinct(F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.concat_ws(" ", *[F.element_at("_ws", i + j)
-                                             for j in range(k)]))))
-                .alias("sh")))
+    identifies its row, the corpus contract every operator here shares
+    (duplicate-id input no longer has its shingle sets unioned across
+    rows — pre-aggregate such input first; jaccard/simhash/contamination
+    consumers would otherwise silently over-count shared shingles)."""
+    return _shingle_stream(df, text_col, k, id_col, distinct=True)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -101,16 +113,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     Generates the shingle stream WITHOUT ``shingle()``'s array_distinct:
     min over the shingle multiset equals min over the distinct set, so
     the dedup pass is pure cost here — signatures are identical."""
-    base = rebalance_scan(df.select(id_col, text_col))
-    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    arrs = base.select(id_col, ws.alias("_ws"))
-    n = F.size("_ws") - (k - 1)
-    sh = (arrs.filter(n >= 1)
-          .select(id_col, F.explode(F.transform(
-              F.sequence(F.lit(1), n),
-              lambda i: F.concat_ws(" ", *[F.element_at("_ws", i + j)
-                                           for j in range(k)])))
-              .alias("sh")))
+    sh = _shingle_stream(df, text_col, k, id_col, distinct=False)
     aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
             for i in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)

@@ -298,9 +298,14 @@ class FeatureExtractor:
                 out_schema = pa.schema(
                     [batch.schema.field(entity_col)]
                     + [pa.field(n, pa.float64()) for n in names])
+                # from_pandas=True: NaN -> SQL NULL, matching the pandas
+                # serializer of the replaced mapInPandas route (fill rows
+                # were NULL there; a bare pa.array would keep NaN doubles
+                # and silently change fill semantics)
                 arrays = [batch.column(
                     batch.schema.names.index(entity_col))] \
-                    + [pa.array(feats[:, j]) for j in range(len(names))]
+                    + [pa.array(feats[:, j], from_pandas=True)
+                       for j in range(len(names))]
                 yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
         return g.select(entity_col, curve_col).mapInArrow(fn, schema)

@@ -52,28 +52,29 @@ def _cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     # null or ragged-length embeddings get NULL (ranked last under desc)
     # instead of blowing up the whole job in np.vstack — the JVM
     # expression this UDF replaced emitted NULL for such rows, and one
-    # bad row must not kill a corpus-scale scan.  The validity pass is
-    # O(rows); the vstack fast path below is untouched for clean batches.
+    # bad row must not kill a corpus-scale scan.  Mixed-but-equal-length
+    # pairs are computed per length group (deterministic: each PAIR's
+    # fate depends only on its own lengths, never on how rows were
+    # batched).  The validity pass is O(rows); the vstack fast path
+    # below is untouched for clean batches.
     lens_a = np.fromiter((-1 if v is None else len(v) for v in an),
                          np.int64, len(an))
     lens_b = np.fromiter((-1 if v is None else len(v) for v in bn),
                          np.int64, len(bn))
     good = (lens_a >= 0) & (lens_a == lens_b)
-    if good.any():
-        dim = np.bincount(lens_a[good].astype(np.int64)).argmax()
-        good &= lens_a == dim
-    if not good.all():
+    if not (good.all() and len(np.unique(lens_a)) == 1):
         vals = np.full(len(an), np.nan)
         mask = np.ones(len(an), dtype=bool)
-        if good.any():
-            ma = np.vstack(an[good])
-            mb = np.vstack(bn[good])
+        for dim in np.unique(lens_a[good]):
+            sel = good & (lens_a == dim)
+            ma = np.vstack(an[sel])
+            mb = np.vstack(bn[sel])
             num = np.einsum("ij,ij->i", ma, mb)
             den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
             zero = den == 0.0
-            vals[good] = num / np.where(zero, 1.0, den)
-            gi = np.nonzero(good)[0]
-            mask[gi[~zero]] = False
+            vals[sel] = num / np.where(zero, 1.0, den)
+            si = np.nonzero(sel)[0]
+            mask[si[~zero]] = False
         return pd.Series(pd.arrays.FloatingArray(vals, mask))
     ma = np.vstack(an)
     mb = np.vstack(bn)

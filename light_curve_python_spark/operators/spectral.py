@@ -164,8 +164,11 @@ def multiband_periodogram(obs: DataFrame, bands: Sequence[str],
             out_schema = pa.schema(
                 [batch.schema.field(entity_col)]
                 + [pa.field(n, pa.float64()) for n in names])
+            # from_pandas=True: NaN -> SQL NULL, matching the replaced
+            # pandas route's serializer (missing peaks were NULL there)
             arrays = [batch.column(batch.schema.names.index(entity_col))] \
-                + [pa.array(feats[:, j]) for j in range(2 * peaks)]
+                + [pa.array(feats[:, j], from_pandas=True)
+                   for j in range(2 * peaks)]
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     return g.mapInArrow(fn, schema)

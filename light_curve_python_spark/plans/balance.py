@@ -39,11 +39,26 @@ def spread(df: DataFrame, per_core: int = 4) -> DataFrame:
     return df.repartition(n)
 
 
+# operators whose presence in the optimized plan means (a) the frame is
+# already post-shuffle (as wide as spark.sql.shuffle.partitions, so
+# rebalancing buys nothing) and (b) df.rdd would EXECUTE those shuffle
+# stages under AQE just to answer getNumPartitions — running the heavy
+# upstream twice as a side effect of plan construction
+_WIDE_OPS = ("Join", "Aggregate", "Window", "Sort", "Repartition",
+             "Distinct", "Deduplicate", "Exchange")
+
+
 def rebalance_scan(df: DataFrame, min_parallelism: Optional[int] = None
                    ) -> DataFrame:
     """Return ``df`` unchanged when its physical plan already has at least
     ``min_parallelism`` (default: the session's default parallelism)
     partitions; otherwise round-robin repartition to that width.
+
+    Only narrow plans (scan / filter / project chains) are inspected —
+    for those, ``df.rdd.getNumPartitions()`` is a metadata question.  A
+    plan containing joins/aggregations/windows is returned unchanged:
+    its output is already shuffle-partition wide, and materializing its
+    RDD under AQE would eagerly run the upstream shuffle stages.
 
     Row-level results of any downstream deterministic computation are
     unaffected — only task placement changes."""
@@ -51,6 +66,9 @@ def rebalance_scan(df: DataFrame, min_parallelism: Optional[int] = None
     if min_parallelism is None:
         min_parallelism = spark.sparkContext.defaultParallelism
     try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(op in plan for op in _WIDE_OPS):
+            return df
         n = df.rdd.getNumPartitions()
     except Exception:
         # non-materializable plans (e.g. streaming sources) keep their

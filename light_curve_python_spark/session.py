@@ -93,6 +93,13 @@ def get_spark(master: Optional[str] = None,
         # that replaces the reference's PyO3 boundary (SURVEY.md §3.4)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Spark 4 byte-based bound: the aggregate-then-map operators ship
+        # whole curves as list<struct> rows, so a records-only cap would
+        # let a few million-point entities put GBs into one Python batch
+        # (guide §4.2); 64m splits such batches with no effect on the
+        # common case
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         # runtime re-planning: partition coalescing + skew-join splitting
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

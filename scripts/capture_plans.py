@@ -5,7 +5,9 @@ plans/r06/<query>_<tag>.txt.  Usage:
     python scripts/capture_plans.py <tag> [query ...]
 
 Runs against $SPARK_GRAFT_SF_DIR (plans are scale-independent; the default
-sf0.1 is fine).  Explain only — nothing is executed.
+sf0.1 is fine).  Mostly explain-only; queries containing an eager
+localCheckpoint (nn_jaccard) run their checkpointed prefix at DataFrame
+construction.
 """
 import os
 import sys

@@ -36,7 +36,7 @@ def documents(rng, n_docs):
     for n in lens:
         ws = rng.integers(0, len(VOCAB), n)
         words = [VOCAB[i] for i in ws]
-        # ~0.5% of docs get the rare 'dup' marker word (matches sf0.1's
+        # ~5% of docs get one rare 'dup' marker word (matches sf0.1's
         # 255 occurrences over 5000 docs)
         if rng.random() < 0.05:
             words[rng.integers(0, n)] = "dup"

@@ -506,3 +506,25 @@ def test_payload_join_keeps_null_entity_and_checks_collisions(spark):
         ex.extract_point_in_time(
             obs, probes.withColumnRenamed("payload", "mean"),
             horizon=10.0)
+
+
+def test_extract_fill_rows_are_sql_null(spark):
+    """Fill values (NaN) must surface as SQL NULL, exactly like the
+    replaced mapInPandas route whose pandas serializer converted NaN to
+    null — a NaN double would poison avg() and sort above every real
+    value (r6 review finding on the aggregate-then-map path)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from light_curve_python_spark.operators.extract import FeatureExtractor
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "b", "b"],
+        "t": [1.0, 1.0, 2.0, 3.0],
+        "m": [5.0, 5.0, 6.0, 7.0],
+        "sigma": [0.1, 0.1, 0.1, 0.1]})
+    df = spark.createDataFrame(pdf)
+    ex = FeatureExtractor(["standard_deviation"])  # needs >= 2 points
+    out = ex.extract(df, band_col=None)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["a"]["standard_deviation"] is None          # fill -> NULL
+    assert rows["b"]["standard_deviation"] is not None
+    assert out.filter(F.col("standard_deviation").isNull()).count() == 1
