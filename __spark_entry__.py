@@ -972,12 +972,37 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
     # factor is ~1.1 — measured 115.9M distinct of 128.8M pair rows at
     # sf1) and its ~10^6-entry per-task hash maps dominated the stage
     # (15.8 s partial+final vs 8.8 s repartition+complete).
-    pairs = (spread(posts).select(F.explode("ds").alias("doc_a"), "ds")
-             .select("doc_a", F.explode("ds").alias("doc_b"))
-             .filter(F.col("doc_b") > F.col("doc_a"))
-             .repartition("doc_a", "doc_b")
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("inter")))
+    exploded = (spread(posts).select(F.explode("ds").alias("doc_a"), "ds")
+                .select("doc_a", F.explode("ds").alias("doc_b"))
+                .filter(F.col("doc_b") > F.col("doc_a")))
+    # narrow the shuffle key (guide: shuffle fewer bytes / narrower
+    # types): when every doc id fits 32 bits, pack the ordered pair into
+    # ONE bigint — (a << 32) | b is injective for 0 <= a, b < 2^31 — so
+    # the ~10^8-row pair exchange carries 8 key bytes instead of 16 and
+    # the two-phase hash aggregation hashes/compares one long.  Measured
+    # min-of-3 on the sf1-like mirror: 24.7 -> 16.3 s for the isolated
+    # pair stage, pair digests bit-identical.  The bounds probe is one
+    # dimension-scale job over the already-checkpointed posting lists
+    # (same class as the tune_ann/temperature_mix scalar collects); ids
+    # beyond 32 bits (possible at 100 TB) keep the exact two-column plan.
+    _b = posts.select(F.min(F.array_min("ds")).alias("lo"),
+                      F.max(F.array_max("ds")).alias("hi")).first()
+    if _b["lo"] is not None and _b["lo"] >= 0 and _b["hi"] < (1 << 31):
+        pairs = (exploded
+                 .select(F.shiftleft(F.col("doc_a"), 32)
+                         .bitwiseOR(F.col("doc_b")).alias("pk"))
+                 .repartition("pk")
+                 .groupBy("pk")
+                 .agg(F.count("*").alias("inter"))
+                 .select(F.shiftrightunsigned("pk", 32).alias("doc_a"),
+                         F.col("pk").bitwiseAND(F.lit((1 << 32) - 1))
+                         .alias("doc_b"),
+                         "inter"))
+    else:
+        pairs = (exploded
+                 .repartition("doc_a", "doc_b")
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("inter")))
     # EXACT top-1 split (the min(struct) argmax plans as a SortAggregate,
     # so feeding it all ~10^8 candidate pairs sorts them; the split cuts
     # its input ~10x without changing any result):
@@ -1008,14 +1033,22 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
                 F.col("_z.j").alias("j")))
     mem = (posts.select("sh", F.explode("ds").alias("doc_id"))
            .join(F.broadcast(sizes), "doc_id"))
-    top2 = (mem.withColumn(
-        "_rn", F.row_number().over(
-            Window.partitionBy("sh").orderBy(F.col("n_sh").asc(),
-                                             F.col("doc_id").asc())))
-        .filter(F.col("_rn") <= 2)
-        .groupBy("sh").agg(F.min(F.struct("n_sh", "doc_id")).alias("_m1"),
-                           F.max(F.struct("n_sh", "doc_id")).alias("_m2"),
-                           F.count("*").alias("_c")))
+    # top-2 members per posting list via ONE hash aggregation:
+    # array_sort over struct(n_sh, doc_id) is the same lexicographic
+    # total order the former row_number window used, so sorted[0]/[1]
+    # equal its min/max over the rn<=2 rows and least(count, 2) equals
+    # its post-filter count — but the partition sort + window machinery
+    # over the exploded membership rows is gone (measured min-of-3 on
+    # the sf1-like mirror: 2.89 -> 1.51 s for the whole single-shingle
+    # branch, digests bit-identical).  _m2 is NULL only when the list
+    # has one member, and every consumer filters _c >= 2 first.
+    top2 = (mem.groupBy("sh").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct("n_sh", "doc_id"))),
+                1, 2).alias("_t"),
+        F.count("*").alias("_cc"))
+        .select("sh", F.col("_t")[0].alias("_m1"),
+                F.col("_t")[1].alias("_m2"),
+                F.least(F.col("_cc"), F.lit(2)).cast("bigint").alias("_c")))
     # NO broadcast hint on top2: it is one row per distinct SHINGLE —
     # O(corpus tokens), not dimension-scale — so AQE must stay free to
     # pick a shuffle join at real corpus size (it broadcasts here)
