@@ -987,7 +987,8 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
     # beyond 32 bits (possible at 100 TB) keep the exact two-column plan.
     _b = posts.select(F.min(F.array_min("ds")).alias("lo"),
                       F.max(F.array_max("ds")).alias("hi")).first()
-    if _b["lo"] is not None and _b["lo"] >= 0 and _b["hi"] < (1 << 31):
+    if isinstance(_b["lo"], int) and _b["lo"] >= 0 \
+            and _b["hi"] < (1 << 31):
         pairs = (exploded
                  .select(F.shiftleft(F.col("doc_a"), 32)
                          .bitwiseOR(F.col("doc_b")).alias("pk"))
