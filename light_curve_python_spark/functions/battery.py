@@ -375,6 +375,27 @@ class PrefixBattery:
         # ping-pong sorted buffers; w/mw ride along in the SAME sorted order
         buf_a = np.empty(n)
         buf_b = np.empty(n)
+        # per-merge scratch, allocated ONCE (a fresh np.ones/np.arange per
+        # probe was pure allocator/dispatch overhead in the profile)
+        mask_buf = np.empty(n, dtype=bool)
+        ar0 = np.arange(n)
+        if qs:
+            # Hazen plotting positions depend only on (q, k): precompute
+            # the lo/hi/g gather plan for every probe OUTSIDE the loop —
+            # the same expressions _hazen_sorted evaluates per call
+            # (q*n + 0.5 - 1.0, clipped to [0, n-1]), vectorized over the
+            # ends array, so each in-loop evaluation is one fused gather.
+            # Rows with k == 0 are never read (the loop `continue`s).
+            _qarr = np.asarray(qs, dtype=np.float64)
+            _kf = ctx.ends.astype(np.float64)
+            _kcap = np.maximum(_kf - 1.0, 0.0)[:, None]
+            _qpos = np.clip(_qarr[None, :] * _kf[:, None] + 0.5 - 1.0,
+                            0.0, _kcap)
+            _qlo = np.floor(_qpos).astype(np.int64)
+            _qhi = np.minimum(_qlo + 1,
+                              np.maximum(ctx.ends - 1, 0)[:, None])
+            _qg = _qpos - _qlo
+            _qmat = np.full((P, len(qs)), np.nan)
         if need_wsums:
             w_time = 1.0 / sig
             # anchored to m[0] (like every central prefix sum): c*W - MW
@@ -409,6 +430,13 @@ class PrefixBattery:
         _FLUSH = self.FLUSH_ELEMS
         ad_elems = otsu_elems = w_elems = 0
         ar1 = np.arange(1, n + 1) if need_cusum else None
+        # hoist per-probe dict/key lookups out of the loop (pure Python
+        # overhead; the arrays are the same objects res holds)
+        med_arr = res["median"]
+        mad_arr = res["medabsdev"]
+        mbrp_pairs = [(mq, res["mbrp_count"][mq]) for mq in mbrp_qs]
+        nstd_pairs = [(v, res["beyond_count"][v]) for v in nstds]
+        cusum_arr = res["cusum_ptp"]
         for pi in order:
             k = int(ctx.ends[pi])
             if k > prev:
@@ -424,9 +452,10 @@ class PrefixBattery:
                         wbuf_a[:c] = w_time[prev:k][chunk_order]
                         mwbuf_a[:c] = mw_time[prev:k][chunk_order]
                 else:
-                    pos = np.searchsorted(buf_a[:prev], chunk)
-                    tgt = pos + np.arange(c)
-                    mask = np.ones(k, dtype=bool)
+                    pos = buf_a[:prev].searchsorted(chunk)
+                    tgt = pos + ar0[:c]
+                    mask = mask_buf[:k]
+                    mask[:] = True
                     mask[tgt] = False
                     buf_b[tgt] = chunk
                     buf_b[:k][mask] = buf_a[:prev]
@@ -451,32 +480,40 @@ class PrefixBattery:
                 # input.
                 continue
             if need_median:
-                res["median"][pi] = _sorted_median(win_s)
+                med_arr[pi] = _sorted_median(win_s)
             if qs:
-                # the kernels' own Hazen helper — one plotting-position
-                # implementation, not a re-derived copy
-                qvals = _hazen_sorted(win_s, qs)
-                for qi, q in enumerate(qs):
-                    res["quantiles"][q][pi] = qvals[qi]
+                # precomputed Hazen gather plan (see above) — the same
+                # (1-g)*sm[lo] + g*sm[hi] _hazen_sorted evaluates
+                _qmat[pi] = (1.0 - _qg[pi]) * win_s[_qlo[pi]] \
+                    + _qg[pi] * win_s[_qhi[pi]]
             if need_medabsdev and k >= 1:
-                dev = np.abs(win_s - res["median"][pi])
-                res["medabsdev"][pi] = np.partition(dev, k // 2)[k // 2] \
-                    if k % 2 else np.median(dev)
-            for mq in mbrp_qs:
+                dev = np.abs(win_s - med_arr[pi])
+                mid_i = k // 2
+                if k % 2:
+                    dev.partition(mid_i)  # fresh temporary: in place
+                    mad_arr[pi] = dev[mid_i]
+                else:
+                    # np.median's even-n arithmetic without its wrapper
+                    # stack: partition at both middles, mean of the two
+                    # ((a+b)/2.0 — the same expression _mean evaluates;
+                    # dev is finite here, the NaN tail bailed out above)
+                    dev.partition((mid_i - 1, mid_i))
+                    mad_arr[pi] = (dev[mid_i - 1] + dev[mid_i]) / 2.0
+            for mq, mbrp_arr in mbrp_pairs:
                 width = mq * (win_s[-1] - win_s[0]) / 2
-                med = res["median"][pi]
-                lo_i = np.searchsorted(win_s, med - width, side="right")
-                hi_i = np.searchsorted(win_s, med + width, side="left")
+                med = med_arr[pi]
+                lo_i = win_s.searchsorted(med - width, side="right")
+                hi_i = win_s.searchsorted(med + width, side="left")
                 # strict |med - m| < width
-                res["mbrp_count"][mq][pi] = max(hi_i - lo_i, 0)
-            for v in nstds:
+                mbrp_arr[pi] = max(hi_i - lo_i, 0)
+            for v, beyond_arr in nstd_pairs:
                 if k < 2:
                     continue
                 mean = means[pi]
                 std = stds[pi]
-                lo_i = np.searchsorted(win_s, mean - v * std, side="left")
-                hi_i = np.searchsorted(win_s, mean + v * std, side="right")
-                res["beyond_count"][v][pi] = lo_i + (k - hi_i)
+                lo_i = win_s.searchsorted(mean - v * std, side="left")
+                hi_i = win_s.searchsorted(mean + v * std, side="right")
+                beyond_arr[pi] = lo_i + (k - hi_i)
             if need_otsu and k >= 2:
                 # DEFERRED like AD: snapshot the sorted prefix and its
                 # fresh per-segment cumsum (computed HERE so the split
@@ -485,7 +522,7 @@ class PrefixBattery:
                 # be); the icv/argmax/std arithmetic runs flat after the
                 # loop
                 otsu_parts.append(win_s.copy())
-                otsu_cums.append(np.cumsum(win_s))
+                otsu_cums.append(win_s.cumsum())
                 otsu_pis.append(pi)
                 otsu_elems += k
                 if otsu_elems >= _FLUSH:
@@ -515,11 +552,11 @@ class PrefixBattery:
                 w_pis.append(pi)
                 if need_stetson:
                     mu = cwm[k] / cw[k]
-                    st_j.append(int(np.searchsorted(win_s, mu)))
+                    st_j.append(int(win_s.searchsorted(mu)))
                     st_c.append(mu - m0)
                 if need_roms:
-                    med = res["median"][pi]
-                    ro_j.append(int(np.searchsorted(win_s, med)))
+                    med = med_arr[pi]
+                    ro_j.append(int(win_s.searchsorted(med)))
                     ro_c.append(med - m0)
                 w_elems += k
                 if w_elems >= _FLUSH:
@@ -531,7 +568,7 @@ class PrefixBattery:
                     w_elems = 0
             if need_cusum and k >= 2:
                 c_ = cumsum_m[:k] - ar1[:k] * (cumsum_m[k - 1] / k)
-                res["cusum_ptp"][pi] = float(c_.max() - c_.min())
+                cusum_arr[pi] = float(c_.max() - c_.min())
         if w_parts:
             self._wsums_flat(w_parts, mw_parts, w_pis,
                              st_j, st_c, res["stetson_num"],
@@ -540,6 +577,9 @@ class PrefixBattery:
             self._ad_flat(ad_parts, ad_pis, res["ad"])
         if otsu_parts:
             self._otsu_flat(otsu_parts, otsu_cums, otsu_pis, res["otsu"])
+        if qs:
+            for qi, q in enumerate(qs):
+                res["quantiles"][q][:] = _qmat[:, qi]
         return res
 
     @staticmethod
