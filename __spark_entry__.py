@@ -985,14 +985,39 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
     # dimension-scale job over the already-checkpointed posting lists
     # (same class as the tune_ann/temperature_mix scalar collects); ids
     # beyond 32 bits (possible at 100 TB) keep the exact two-column plan.
-    _b = posts.select(F.min(F.array_min("ds")).alias("lo"),
-                      F.max(F.array_max("ds")).alias("hi")).first()
+    _b = posts.select(
+        F.min(F.array_min("ds")).alias("lo"),
+        F.max(F.array_max("ds")).alias("hi"),
+        F.expr("sum(cast(size(ds) as bigint) * (size(ds) - 1) div 2)")
+        .alias("pair_rows")).first()
+    # EXPLICIT, size-derived partition count on the pair exchange.  A bare
+    # repartition(col) is AQE-coalescible, and AQE sizes post-shuffle
+    # reads by BYTES (64 MB advisory => the ~2 GB pair exchange collapses
+    # to ~32 fat partitions); this stage's reduce cost is hash-aggregation
+    # CPU over near-unique keys, not bytes, so byte-coalescing serializes
+    # it onto a few cores and makes each task build a cache-hostile
+    # multi-million-entry map.  An explicit count is exempt from
+    # coalescing: measured min-of-3 at the sf1-like mirror, 12.8 -> 5.9 s
+    # for the isolated pair stage (the small posts/top2 aggregations
+    # measured flat, so only this exchange gets the pin).  The count is
+    # derived from the EXACT pair-row total (sum of d*(d-1)/2 over the
+    # checkpointed posting lists — same dimension-scale job as the id
+    # bounds): ~500k rows per reduce task keeps each task's group map in
+    # the fast cache regime (256 vs 1024 partitions measured flat at
+    # 128.8M rows, AQE's 32 was 2.2x slower), floored at the session's
+    # parallelism and capped at its configured shuffle partitions so tiny
+    # corpora are not over-split (explicit 256 cost +8% at sf0.1) and a
+    # deployment's own sizing is respected at scale.
+    _pr = _b["pair_rows"] or 0
+    _np = max(spark.sparkContext.defaultParallelism,
+              min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                  int(-(-_pr // 500_000))))
     if isinstance(_b["lo"], int) and _b["lo"] >= 0 \
             and _b["hi"] < (1 << 31):
         pairs = (exploded
                  .select(F.shiftleft(F.col("doc_a"), 32)
                          .bitwiseOR(F.col("doc_b")).alias("pk"))
-                 .repartition("pk")
+                 .repartition(_np, "pk")
                  .groupBy("pk")
                  .agg(F.count("*").alias("inter"))
                  .select(F.shiftrightunsigned("pk", 32).alias("doc_a"),
@@ -1001,7 +1026,7 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
                          "inter"))
     else:
         pairs = (exploded
-                 .repartition("doc_a", "doc_b")
+                 .repartition(_np, "doc_a", "doc_b")
                  .groupBy("doc_a", "doc_b")
                  .agg(F.count("*").alias("inter")))
     # EXACT top-1 split (the min(struct) argmax plans as a SortAggregate,
