@@ -397,10 +397,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # spread(): AQE would coalesce the small posting-list aggregate to a
     # handful of tasks (it sizes reducers by input bytes) and serialize
     # the multiplicative pair explosion there
-    shared = (spread(kept).select(F.explode("_ds").alias("id_a"), "_ds")
-              .select("id_a",
-                      F.explode(F.filter(
-                          "_ds", lambda x: x > F.col("id_a"))).alias("id_b"))
+    pair_stream = (spread(kept)
+                   .select(F.explode("_ds").alias("id_a"), "_ds")
+                   .select("id_a",
+                           F.explode(F.filter(
+                               "_ds",
+                               lambda x: x > F.col("id_a"))).alias("id_b")))
+    if max_shingle_df is None:
+        # EXACT mode only: the fan-out is unbounded (quadratic in the
+        # hottest df), and the count's reduce cost is hash-map CPU over
+        # near-unique keys — map-side partial aggregation is overhead and
+        # AQE's byte-based coalescing of the bare exchange serializes the
+        # stage onto a few fat partitions.  An explicit-count repartition
+        # (the session's configured shuffle partitions, exempt from
+        # coalescing) + post-shuffle-only aggregation measured 17.3 ->
+        # 9.8 s min-of-2 on the skew probe's half-df exact leg.  The
+        # BOUNDED default keeps the partial-agg shape: its fan-out is
+        # capped at cap^2 per shingle and the same repartition measured
+        # 27% SLOWER there (1.94 -> 2.47 s on the probe's bounded leg).
+        _np = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        pair_stream = pair_stream.repartition(_np, "id_a", "id_b")
+    shared = (pair_stream
               .groupBy("id_a", "id_b")
               .agg(F.count("*").alias("_inter")))
     if max_shingle_df is not None:
