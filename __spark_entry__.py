@@ -1009,9 +1009,13 @@ def q_nearest_neighbor_jaccard(spark, sf_dir):
     # corpora are not over-split (explicit 256 cost +8% at sf0.1) and a
     # deployment's own sizing is respected at scale.
     _pr = _b["pair_rows"] or 0
+    try:
+        _cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # AQE-managed deployments may set a non-numeric value ("auto")
+        _cap = spark.sparkContext.defaultParallelism * 8
     _np = max(spark.sparkContext.defaultParallelism,
-              min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                  int(-(-_pr // 500_000))))
+              min(_cap, int(-(-_pr // 500_000))))
     if isinstance(_b["lo"], int) and _b["lo"] >= 0 \
             and _b["hi"] < (1 << 31):
         pairs = (exploded

@@ -27,6 +27,8 @@ def main():
     n_runs = 3
     if "--n" in args:
         i = args.index("--n")
+        if i + 1 >= len(args):
+            sys.exit("--n needs a value")
         n_runs = int(args[i + 1])
         del args[i:i + 2]
     only = set(args)
@@ -35,6 +37,10 @@ def main():
     obs_path, probes_path = bench._ensure_synth(spark)
     bench._warmup(spark, obs_path, probes_path)
     queries = bench._headline_queries(spark, obs_path, probes_path)
+    unknown = only - set(queries)
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)}; "
+                 f"choose from {sorted(queries)}")
     results, runs_log = {}, {}
     for name, fn in queries.items():
         if only and name not in only:

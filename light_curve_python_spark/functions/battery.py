@@ -30,8 +30,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .kernels import (Kernel, _hazen_sorted, _sorted_median,
-                      evaluate_kernel)
+from .kernels import Kernel, _sorted_median, evaluate_kernel
 from .special import chi2_sf, ndtr
 
 __all__ = ["PrefixBattery"]

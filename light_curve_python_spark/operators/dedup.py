@@ -415,7 +415,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # BOUNDED default keeps the partial-agg shape: its fan-out is
         # capped at cap^2 per shingle and the same repartition measured
         # 27% SLOWER there (1.94 -> 2.47 s on the probe's bounded leg).
-        _np = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            _np = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # AQE-managed deployments may set a non-numeric value
+            # (e.g. "auto"); the session parallelism is the safe floor
+            _np = df.sparkSession.sparkContext.defaultParallelism
         pair_stream = pair_stream.repartition(_np, "id_a", "id_b")
     shared = (pair_stream
               .groupBy("id_a", "id_b")

@@ -179,14 +179,13 @@ class FeatureExtractor:
         """One output row per entity over its complete series.
 
         grouped_batches=True (default) evaluates MANY entities per Python
-        call: repartition-by-entity + sortWithinPartitions, then
-        ``mapInPandas`` with a pandas groupby inside each Arrow batch
-        (deferring the batch's last entity, which may continue in the
-        next batch).  Same shuffle as groupBy().applyInPandas but without
-        the one-Python-call-per-group overhead that dominates corpora of
-        many SMALL groups (measured ~1.5-2x on 10k-entity event tables).
-        ``False`` selects the one-call-per-group applyInPandas path
-        (identical results; kept for comparison tests)."""
+        call via aggregate-then-map (``_extract_agg_arrow``): each
+        entity's curve is collected into ONE ``list<struct>`` row with a
+        hash aggregation (map-side combine, no sort) and slices are
+        evaluated straight off the Arrow buffers in ``mapInArrow`` —
+        Python never materializes or groups the scalar rows.  ``False``
+        selects the one-call-per-group applyInPandas path (identical
+        results; kept for comparison tests)."""
         # prune sigma when no kernel needs it (an explicitly passed
         # column would otherwise ship through Arrow for nothing, and a
         # sigma-less dataset would fail the select)

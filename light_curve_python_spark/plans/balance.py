@@ -43,9 +43,19 @@ def spread(df: DataFrame, per_core: int = 4) -> DataFrame:
 # already post-shuffle (as wide as spark.sql.shuffle.partitions, so
 # rebalancing buys nothing) and (b) df.rdd would EXECUTE those shuffle
 # stages under AQE just to answer getNumPartitions — running the heavy
-# upstream twice as a side effect of plan construction
+# upstream twice as a side effect of plan construction.  Matched at
+# NODE-NAME position (start of line after the tree-drawing prefix), not
+# by bare substring — a column named "JoinKey" or a view "SortedDocs"
+# printed mid-line must not silently disable rebalancing.
+import re as _re
+
 _WIDE_OPS = ("Join", "Aggregate", "Window", "Sort", "Repartition",
              "Distinct", "Deduplicate", "Exchange")
+# prefix match at node position (no \b): "Repartition" must also catch
+# RepartitionByExpression, "Sort" SortMergeJoin-era names, etc. — every
+# plan line begins with an operator name, never a user identifier
+_WIDE_RE = _re.compile(
+    r"(?m)^[\s+:|-]*(?:" + "|".join(_WIDE_OPS) + r")")
 
 
 def rebalance_scan(df: DataFrame, min_parallelism: Optional[int] = None
@@ -67,7 +77,7 @@ def rebalance_scan(df: DataFrame, min_parallelism: Optional[int] = None
         min_parallelism = spark.sparkContext.defaultParallelism
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        if any(op in plan for op in _WIDE_OPS):
+        if _WIDE_RE.search(plan):
             return df
         n = df.rdd.getNumPartitions()
     except Exception:

@@ -28,7 +28,7 @@ STATE_SCHEMA = T.StructType([
 def streaming_n_not_det_before_fd(events: DataFrame,
                                   key_col: str = "user_id",
                                   ts_col: str = "ts", m_col: str = "value",
-                                  m_threshold: float = 250.0,
+                                  m_threshold: float = None,
                                   sigma_col: str = None,
                                   signal_to_noise: float = 5.0,
                                   sigma_threshold: float = None
@@ -50,13 +50,22 @@ def streaming_n_not_det_before_fd(events: DataFrame,
     ``streaming_pit_features(late_policy='drop')``); state carries
     across micro-batches.
 
-    ``sigma_threshold`` is the r4-era name of ``m_threshold`` — accepted
-    as a deprecated alias so existing callers keep working."""
+    ``m_threshold`` defaults to 250.0.  ``sigma_threshold`` is the
+    r4-era name of ``m_threshold`` — accepted as a deprecated alias so
+    existing callers keep working; passing BOTH raises (a silently
+    clobbered explicit m_threshold would compute detection counts
+    against the wrong threshold)."""
     if sigma_threshold is not None:
+        if m_threshold is not None:
+            raise TypeError(
+                "pass either m_threshold or its deprecated alias "
+                "sigma_threshold, not both")
         import warnings
         warnings.warn("sigma_threshold is deprecated; use m_threshold",
                       DeprecationWarning, stacklevel=2)
         m_threshold = sigma_threshold
+    if m_threshold is None:
+        m_threshold = 250.0
     out_schema = T.StructType([
         events.schema[key_col],
         T.StructField("n_non_detections_before_fd", T.LongType()),
